@@ -1,0 +1,224 @@
+"""Typed configuration for the goldrush-tpu engine and pipeline.
+
+One config layer replaces the reference's two-layer flag system (Makefile vars in
+bin/goldrush:60-97 forwarded to getopt flags parsed in
+goldrush_path/opt.cpp:90-217).  Names and defaults mirror the reference
+(goldrush_path/opt.cpp:7-32 and bin/goldrush:60-97) so a GoldRush user can map
+their command line 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PathConfig:
+    """Parameters of the golden/silver path engine (goldrush-path equivalent).
+
+    Defaults follow goldrush_path/opt.cpp:7-32; required params (k/w/genome
+    size) are validated in ``validate`` like opt.cpp:181-216.
+    """
+
+    # required
+    input: str = ""                 # -i reads file (fastq[.gz])
+    genome_size: int = 0            # -g estimated genome size (bp)
+    kmer_size: int = 0              # -k span of base spaced seed
+    weight: int = 0                 # -w weight (number of 1s) of spaced seed
+
+    # engine knobs (reference defaults)
+    assigned_max: int = 1           # -a max assigned tiles for read to stay unassigned
+    unassigned_min: int = 5         # -u min unassigned tiles for read to be unassigned
+    tile_length: int = 1000         # -t tile length (bp)
+    hash_universe: int = 0          # -H explicit hash universe (0 = derive)
+    min_length: int = 20000         # -m min read length
+    hash_num: int = 3               # -h number of spaced-seed patterns
+    occupancy: float = 0.1          # -o target occupancy of the miBF
+    ratio: float = 0.9              # -r silver path terminates at ratio*G bases
+    jobs: int = 48                  # -j host-side worker threads
+    block_size: int = 10            # -b consecutive tiles sharing one inserted ID
+    max_paths: int = 5              # -M number of silver paths
+    threshold: int = 10             # -x hits needed for a tile to be assigned
+    phred_min: int = 0              # -P min avg phred (0 = auto via median)
+    phred_delta: int = 5            # -d max |phred(first half)-phred(second half)|
+    prefix_file: str = "goldrush_out"   # -p output prefix
+    seed_preset: str = ""           # -s explicit base seed pattern
+    filter_file: str = ""           # -f file listing read names to exclude
+    ntcard: bool = False            # --ntcard: estimate hash universe by ntCard
+    silver_path: bool = False       # --silver_path mode
+    verbose: bool = False
+    debug: bool = False
+
+    # --- TPU-specific execution knobs (no reference equivalent) ---
+    batch_reads: int = 32           # reads classified per device batch (1 = strict
+                                    # sequential parity with the reference consumer)
+    max_tiles: int = 256            # tile-axis padding cap per batch bucket
+    vote_topk: int = 16             # per-tile candidate (id,count) slots kept for
+                                    # the smoothing passes (reference keeps all ids
+                                    # with count>2; overflow is counted + logged)
+    mibf_mode: str = "direct"       # "direct" (slot-indexed ids) | "compressed"
+                                    # (rank-compressed like MIBloomFilter.hpp:94-101)
+    use_pallas: bool = True         # fused Pallas probe kernel where available
+    devices: int = 0                # 0 = all local devices
+
+    def validate(self) -> None:
+        if self.kmer_size == 0:
+            raise ValueError("span of spaced seed (-k) cannot be 0")
+        if self.weight == 0:
+            raise ValueError("weight of spaced seed (-w) cannot be 0")
+        if self.genome_size == 0:
+            raise ValueError("genome size (-g) cannot be 0")
+        if self.seed_preset:
+            if len(self.seed_preset) != self.kmer_size:
+                raise ValueError("seed preset must be the same size as k")
+            if self.seed_preset.count("1") != self.weight:
+                raise ValueError("seed preset must have the same weight as w")
+        if self.mibf_mode not in ("direct", "compressed"):
+            raise ValueError(f"unknown mibf_mode {self.mibf_mode!r}")
+
+    def derived_hash_universe(self) -> int:
+        """Hash-universe sizing heuristic (goldrush_path.cpp:1109-1123).
+
+        min(4^w, 2*G) * 0.5 * h  unless -H given (or --ntcard estimated the
+        distinct-kmer count upstream).
+        """
+        if self.hash_universe:
+            return self.hash_universe
+        bases, coeff, gmult = 4, 0.5, 2
+        base = min(bases ** self.weight, gmult * self.genome_size)
+        return int(base * coeff * self.hash_num)
+
+    def target_bases(self) -> int:
+        """Silver path rotation target r*G (goldrush_path.cpp:1223)."""
+        return int(self.ratio * self.genome_size)
+
+
+def calc_optimal_size(entries: int, hash_num: int, occupancy: float) -> int:
+    """Bloom size for target occupancy (MIBloomFilter.hpp:94-101).
+
+    -entries*hash_num/ln(1-occupancy), rounded UP to a multiple of 64 the same
+    way the reference does (adds 64 - size%64).
+    """
+    approx = int(-float(entries) * float(hash_num) / math.log(1.0 - occupancy))
+    return approx + (64 - approx % 64)
+
+
+def next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+@dataclass
+class PipelineConfig:
+    """Full 5-stage pipeline parameters (bin/goldrush:60-97)."""
+
+    reads: str = "reads"            # reads file prefix (.fq/.fastq appended)
+    G: int = 0                      # haploid genome size
+    t: int = 48                     # threads
+    z: int = 1000                   # min contig size to scaffold
+    prefix: str = "goldrush_intermediate_files"
+    p: str = "goldrush_asm"        # output path prefix
+    track_time: bool = False
+    dev: bool = False               # keep intermediate files
+
+    # GoldRush-Path stage params (forwarded into PathConfig)
+    k: int = 22
+    w: int = 16
+    tile: int = 1000
+    b: int = 10
+    u: int = 5
+    a: int = 1
+    o: float = 0.1
+    x: int = 10
+    h: int = 3
+    s: str = "1011011110110111101101"   # default preset (bin/goldrush:70)
+    r: float = 0.9
+    M: int = 5
+    P: int = 0
+    d: int = 5
+    m: int = 20000
+
+    # Polisher stage
+    polisher: str = "goldpolish"    # or "racon"-equivalent
+    polisher_mapper: str = "minimap2"   # "minimap2" | "ntlink" analog mapping mode
+    polish_k: int = 32
+    polish_w: int = 100
+
+    # Tigmint-long stage (bin/goldrush:83-86)
+    span: int = 2
+    dist: int = 500
+    cut: int = 250
+
+    # ntLink stage (bin/goldrush:88-92)
+    k_ntLink: int = 40
+    w_ntLink: int = 250
+    rounds: int = 5
+    soft_mask: bool = True
+
+    # GoldPolish-Target stage (bin/goldrush:94-97)
+    target_flank_length: int = 64
+    target_k_ntlink: int = 88
+    target_w_ntlink: int = 1000
+
+    def silver_prefix(self) -> str:
+        return f"{self.p}_silver_path"
+
+    def golden_prefix(self) -> str:
+        return f"{self.p}_golden_path"
+
+    def path_config(self, silver: bool) -> PathConfig:
+        """Build the engine config for the silver or golden invocation,
+        mirroring the flag forwarding at bin/goldrush:240-260."""
+        # the default preset is only used when k and w are at their defaults
+        # (bin/goldrush:241-246)
+        preset = self.s if (self.k == 22 and self.w == 16) else ""
+        cfg = PathConfig(
+            genome_size=self.G,
+            kmer_size=self.k,
+            weight=self.w,
+            tile_length=self.tile,
+            block_size=self.b,
+            unassigned_min=self.u,
+            assigned_max=self.a,
+            occupancy=self.o,
+            threshold=self.x,
+            hash_num=self.h,
+            seed_preset=preset,
+            ratio=self.r,
+            max_paths=self.M,
+            phred_min=self.P,
+            phred_delta=self.d,
+            jobs=self.t,
+        )
+        if silver:
+            cfg.silver_path = True
+            cfg.min_length = self.m
+            cfg.prefix_file = self.silver_prefix()
+        else:
+            cfg.silver_path = False
+            cfg.min_length = 0
+            cfg.prefix_file = self.golden_prefix()
+        return cfg
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Filename templates encode stage dataflow exactly like the make pipeline
+# (bin/goldrush:209-308), preserving its resume-from-file semantics.
+def stage_filenames(cfg: PipelineConfig) -> dict:
+    p1, p2 = cfg.silver_prefix(), cfg.golden_prefix()
+    polished_infix = f"{cfg.polisher}-polished"
+    tig = f"{p2}.{polished_infix}.span{cfg.span}.dist{cfg.dist}.tigmint.fa"
+    ntl = (f"{tig}.k{cfg.k_ntLink}.w{cfg.w_ntLink}."
+           f"ntLink-{cfg.rounds}rounds.fa")
+    return {
+        "silver": [f"{p1}_{i}.fq" for i in range(1, cfg.M + 1)],
+        "silver_all": f"{p1}_all.fq",
+        "golden": f"{p2}.fa",
+        "polished": f"{p2}.{polished_infix}.fa",
+        "tigmint": tig,
+        "ntlink": ntl,
+        "final": ntl[: -len(".fa")] + ".polished.fa",
+    }
