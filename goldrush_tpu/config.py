@@ -55,7 +55,7 @@ class PathConfig:
     batch_reads: int = 32           # reads classified per device batch (1 = strict
                                     # sequential parity with the reference consumer)
     max_tiles: int = 256            # tile-axis padding cap per batch bucket
-    vote_topk: int = 16             # per-tile candidate (id,count) slots kept for
+    vote_topk: int = 32             # per-tile candidate (id,count) slots kept for
                                     # the smoothing passes (reference keeps all ids
                                     # with count>2; overflow is counted + logged)
     mibf_mode: str = "direct"       # "direct" (slot-indexed ids) | "compressed"

@@ -1,0 +1,374 @@
+"""Streaming golden/silver path engine on TPU.
+
+Orchestrates the two-pass GoldRush-Path flow (goldrush_path.cpp:1096-1275)
+around the batched device kernels:
+
+  pass 1: host filter gates (length/phred/ACGT) -> whole-read hashing ->
+          presence scatter (fill_bit_vector equivalent),
+  pass 2: reads stream IN ORDER through optimistic micro-batches: a batched
+          classify (hash -> probe/vote -> smoothing/decision) against the
+          miBF state at batch start, then candidates (non-drop decisions) are
+          re-checked sequentially against the live state before recruitment.
+
+Because query results only strengthen as IDs are inserted, a read classified
+"drop" against the batch-start state stays dropped under the exact
+sequential state (modulo rare reservoir overwrites, the same nondeterminism
+class the reference accepts across thread interleavings —
+MIBloomFilter.hpp:105-107).  Candidates see the exact live state before any
+insertion, and the re-check is skipped entirely while no insert has happened
+since batch start — so with batch_reads=1 the engine is bit-exact sequential
+(parity mode, asserted against path.oracle_engine in tests).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PathConfig, calc_optimal_size
+from ..io import fastq
+from ..mibf import mibf as dm
+from ..ops import nthash_np as nth
+from ..ops.nthash import build_seed_family, hash_positions
+from ..ops.phred import (MEDIAN_SAMPLES_NEEDED, MINIMUM_PHRED_THRESHOLD,
+                         calc_median_phred, phred_stats_block, sum_phred)
+from ..ops.seeds import make_seed_pattern
+from .classify import classify_batch
+
+BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+@dataclass
+class EngineStats:
+    valid_reads: int = 0
+    total_tiles: int = 0
+    assigned_tiles: int = 0
+    unassigned_tiles: int = 0
+    queries: int = 0
+    hits: int = 0
+    misses: int = 0
+    reads_in_path: int = 0
+    phred_sum_in_path: float = 0.0
+    num_reads: int = 0
+    num_passed_reads: int = 0
+    skipped_phred: int = 0
+    skipped_delta: int = 0
+    skipped_length: int = 0
+    skipped_invalid: int = 0
+    vote_overflow: int = 0
+    recruits: int = 0
+    paths_completed: int = 0
+    wall_fill_s: float = 0.0
+    wall_assign_s: float = 0.0
+
+
+def _bucket_for(num_tiles: int, cap: int) -> int:
+    for b in BUCKETS:
+        if num_tiles <= b:
+            return min(b, cap)
+    return cap
+
+
+class GoldenPathEngine:
+    """goldrush-path equivalent.  Construct, then call run()."""
+
+    def __init__(self, cfg: PathConfig):
+        cfg.validate()
+        self.cfg = cfg
+        self.seeds = make_seed_pattern(cfg.seed_preset, cfg.kmer_size,
+                                       cfg.weight, cfg.hash_num)
+        self.fam = build_seed_family(self.seeds)
+        self.universe = cfg.derived_hash_universe()
+        self.size = calc_optimal_size(self.universe, 1, cfg.occupancy)
+        self.params = dm.MibfParams(
+            size=self.size, h=cfg.hash_num, k=cfg.kmer_size,
+            spans=tuple(len(s) for s in self.seeds),
+            tile_length=cfg.tile_length, threshold=cfg.threshold,
+            block_size=cfg.block_size, vote_topk=cfg.vote_topk)
+        self.state = dm.init_state(self.params)
+        self.filter_out: set[str] = set()
+        self.phred_min = cfg.phred_min
+        self.stats = EngineStats()
+        self.writers: list[fastq.PathWriter] = []
+        self._fill_fn = jax.jit(
+            dm.fill_presence, static_argnames=("size",),
+            donate_argnums=(0,))
+        self._insert_fn = {}
+
+    # ------------------------------------------------------------------
+    def _phred_gate_block(self, block):
+        """Vectorized phred stats for a record block; returns (avg, delta)."""
+        lens = np.array([len(r.qual) for r in block], dtype=np.int64)
+        mx = max(1, int(lens.max()))
+        quals = np.zeros((len(block), mx), dtype=np.uint8)
+        for i, r in enumerate(block):
+            quals[i, : len(r.qual)] = np.frombuffer(r.qual, dtype=np.uint8)
+        return phred_stats_block(quals, lens)
+
+    def calc_phred_threshold(self, path: str) -> None:
+        """Auto threshold = max(10, median of first 50k passing reads)
+        (goldrush_path.cpp:79-107)."""
+        if self.phred_min != 0:
+            return
+        scores = np.zeros(MEDIAN_SAMPLES_NEEDED, dtype=np.uint32)
+        count = 0
+        for block in fastq.read_blocks(path):
+            block = [r for r in block if len(r.seq) >= self.cfg.min_length]
+            if not block:
+                continue
+            avg, _, _ = self._phred_gate_block(block)
+            take = min(len(block), MEDIAN_SAMPLES_NEEDED - count)
+            scores[count:count + take] = avg[:take]
+            count += take
+            if count >= MEDIAN_SAMPLES_NEEDED:
+                break
+        self.phred_min = max(MINIMUM_PHRED_THRESHOLD,
+                             calc_median_phred(scores, count))
+
+    # ------------------------------------------------------------------
+    def fill(self, path: str) -> None:
+        """Pass 1: presence fill over all gate-passing reads."""
+        t0 = time.time()
+        st = self.stats
+        words = self.state.words
+        spans = self.params.spans
+        for block in fastq.read_blocks(path):
+            st.num_reads += len(block)
+            keep = []
+            for r in block:
+                if len(r.seq) < self.cfg.min_length:
+                    st.skipped_length += 1
+                else:
+                    keep.append(r)
+            if not keep:
+                continue
+            avg, delta, _ = self._phred_gate_block(keep)
+            good = []
+            for i, r in enumerate(keep):
+                bad_p = avg[i] < self.phred_min
+                bad_d = delta[i] >= self.cfg.phred_delta
+                if bad_p or bad_d:
+                    st.skipped_phred += int(bad_p)
+                    st.skipped_delta += int(bad_d)
+                    self.filter_out.add(r.id)
+                    continue
+                codes = fastq.encode(r.seq)
+                if (codes > 3).any():
+                    st.skipped_invalid += 1
+                    self.filter_out.add(r.id)
+                    continue
+                good.append((r, codes))
+            if not good:
+                continue
+            st.num_passed_reads += len(good)
+            # fixed batch/length buckets keep jit shapes stable across blocks
+            FB = 64
+            good.sort(key=lambda rc: len(rc[1]))
+            i = 0
+            while i < len(good):
+                batch = good[i: i + FB]
+                i += FB
+                L = max(len(c) for _, c in batch)
+                Lb = 1 << max(10, (L - 1).bit_length())
+                P = Lb - self.params.k + 1
+                codes = np.zeros((FB, Lb), dtype=np.uint8)
+                valid = np.zeros((FB, len(spans), P), dtype=bool)
+                for j, (r, c) in enumerate(batch):
+                    codes[j, : len(c)] = c
+                    for s, span in enumerate(spans):
+                        valid[j, s, : max(len(c) - span + 1, 0)] = True
+                hashes = hash_positions(codes, self.fam, P)
+                words = self._fill_fn(words, hashes, jnp.asarray(valid),
+                                      self.params.size)
+        if st.num_passed_reads == 0:
+            raise RuntimeError(
+                "no reads passed the Phred score and min length requirements")
+        self.state = dm.MibfState(words=words, counts=self.state.counts)
+        st.wall_fill_s += time.time() - t0
+
+    # ------------------------------------------------------------------
+    def _open_writer(self, curr_path: int) -> None:
+        cfg = self.cfg
+        if cfg.silver_path:
+            w = fastq.PathWriter(f"{cfg.prefix_file}_{curr_path}.fq", True)
+        else:
+            w = fastq.PathWriter(f"{cfg.prefix_file}.fa", False)
+        self.writers.append(w)
+
+    def _classify(self, codes, lengths, T):
+        """hash -> grid -> vote -> classify for a padded [B] batch."""
+        P = T * self.params.tile_length
+        hashes = hash_positions(codes, self.fam, P)
+        slots, frame_ok = dm.tile_slot_grid(
+            hashes, jnp.asarray(lengths), self.params, T)
+        votes = dm.probe_and_vote(self.state.words, slots, frame_ok,
+                                  self.params)
+        res = classify_batch(
+            votes.curr_id, votes.top_count, votes.cand_ids, votes.cand_counts,
+            jnp.asarray(lengths // self.params.tile_length, dtype=jnp.int32),
+            self.cfg.threshold, self.cfg.unassigned_min, self.cfg.assigned_max)
+        return slots, votes, res
+
+    def _insert(self, slots_row, tile_lo, tile_hi, base_id, trimmed, T):
+        key = T
+        if key not in self._insert_fn:
+            max_blocks = -(-T // self.params.block_size) + 1
+            self._insert_fn[key] = lambda st, s, lo, hi, bid, tr: \
+                dm.insert_read(st, s, lo, hi, bid, tr, self.params,
+                               max_blocks=max_blocks)
+        self.state = self._insert_fn[key](
+            self.state, slots_row, jnp.int32(tile_lo), jnp.int32(tile_hi),
+            jnp.uint32(base_id), jnp.asarray(bool(trimmed)))
+
+    # ------------------------------------------------------------------
+    def assign(self, path: str) -> None:
+        """Pass 2: stream reads in order, classify in micro-batches, recruit
+        sequentially."""
+        t0 = time.time()
+        cfg, st = self.cfg, self.stats
+        TL = cfg.tile_length
+        target_bases = cfg.target_bases()
+        inserted_bases = 0
+        curr_path = 1
+        ids_inserted = 0
+        self._open_writer(curr_path)
+        done = False
+        cap = cfg.max_tiles
+
+        pending = []            # eligible reads in stream order
+        stream = fastq.read_records(path)
+
+        def flush(batch):
+            nonlocal inserted_bases, curr_path, ids_inserted, done
+            if not batch or done:
+                return
+            B = len(batch)
+            T = max(_bucket_for(len(r.seq) // TL, cap) for r, _ in batch)
+            Bpad = cfg.batch_reads
+            Lmax = T * TL + TL
+            codes = np.zeros((max(B, Bpad), Lmax), dtype=np.uint8)
+            lengths = np.zeros(max(B, Bpad), dtype=np.int32)
+            for i, (r, c) in enumerate(batch):
+                L = min(len(c), Lmax)
+                codes[i, :L] = c[:L]
+                # cap tiles at the bucket limit (reads longer than
+                # max_tiles*TL tiles are classified on the first cap tiles)
+                lengths[i] = min(len(c), T * TL + TL - 1)
+            slots, votes, res = self._classify(codes, lengths, T)
+            decisions = np.asarray(res.decision)
+            trim_s = np.asarray(res.trim_start)
+            trim_e = np.asarray(res.trim_end)
+            num_assigned = np.asarray(res.num_assigned)
+            st.queries += int(np.asarray(votes.queries)[:B].sum())
+            st.hits += int(np.asarray(votes.hits)[:B].sum())
+            st.misses += int(np.asarray(votes.misses)[:B].sum())
+            st.vote_overflow += int(np.asarray(votes.overflow)[:B].sum())
+            state_dirty = False     # inserts since batch classify?
+            for i, (r, c) in enumerate(batch):
+                if done:
+                    break
+                # effective tile count is capped at the bucket limit (reads
+                # longer than max_tiles*TL are classified on their first
+                # max_tiles tiles; the reference has no such cap)
+                num_tiles = int(lengths[i]) // TL
+                st.total_tiles += num_tiles
+                dec, ts, te, na = (int(decisions[i]), int(trim_s[i]),
+                                   int(trim_e[i]), int(num_assigned[i]))
+                if dec != 0 and state_dirty:
+                    # re-check against the live state (exact sequential view)
+                    c1 = codes[i:i + 1]
+                    l1 = lengths[i:i + 1]
+                    s1, v1, r1 = self._classify(c1, l1, T)
+                    dec = int(np.asarray(r1.decision)[0])
+                    ts = int(np.asarray(r1.trim_start)[0])
+                    te = int(np.asarray(r1.trim_end)[0])
+                    na = int(np.asarray(r1.num_assigned)[0])
+                    slots_row = s1[0]
+                else:
+                    slots_row = slots[i]
+                st.assigned_tiles += na
+                st.unassigned_tiles += num_tiles - na
+                if dec == 1:        # recruit whole read
+                    ids_inserted += 1
+                    self._insert(slots_row, 0, num_tiles - 1, ids_inserted,
+                                 False, T)
+                    ids_inserted += len(r.seq) // (TL * cfg.block_size)
+                    self.writers[-1].write(r.id, "_untrimmed", r.seq, r.qual)
+                    inserted_bases += len(r.seq)
+                    st.reads_in_path += 1
+                    st.recruits += 1
+                    if r.qual is not None:
+                        st.phred_sum_in_path += sum_phred(
+                            np.frombuffer(r.qual, dtype=np.uint8))
+                    state_dirty = True
+                elif dec == 2:      # recruit trimmed
+                    ids_inserted += 1
+                    self._insert(slots_row, ts, te, ids_inserted, True, T)
+                    ids_inserted += (te - ts) // cfg.block_size
+                    if te == num_tiles - 1:
+                        seq = r.seq[ts * TL:]
+                        qual = r.qual[ts * TL:] if r.qual else None
+                    else:
+                        end = ts * TL + (te - ts + 1) * TL
+                        seq = r.seq[ts * TL:end]
+                        qual = r.qual[ts * TL:end] if r.qual else None
+                    self.writers[-1].write(r.id, "_trimmed", seq, qual)
+                    inserted_bases += len(seq)
+                    st.reads_in_path += 1
+                    st.recruits += 1
+                    if qual is not None:
+                        st.phred_sum_in_path += sum_phred(
+                            np.frombuffer(qual, dtype=np.uint8))
+                    state_dirty = True
+                st.valid_reads += 1
+                # silver-path rotation (goldrush_path.cpp:156-187)
+                if dec in (1, 2) and cfg.silver_path and \
+                        target_bases < inserted_bases:
+                    st.paths_completed += 1
+                    curr_path += 1
+                    if cfg.max_paths < curr_path:
+                        done = True
+                        # the reference exit(0)s here; we stop consuming
+                        st.valid_reads -= 1   # exit happens before ++valid
+                        break
+                    inserted_bases = 0
+                    st.reads_in_path = 0
+                    st.phred_sum_in_path = 0.0
+                    self.state = dm.reset_ids(self.state)
+                    ids_inserted = 0
+                    self.writers[-1].close()
+                    self._open_writer(curr_path)
+                    state_dirty = True
+
+        for rec in stream:
+            if done:
+                break
+            if len(rec.seq) < cfg.min_length or rec.id in self.filter_out:
+                continue
+            pending.append((rec, fastq.encode(rec.seq)))
+            if len(pending) >= cfg.batch_reads:
+                flush(pending)
+                pending = []
+        if not done:
+            flush(pending)
+        for w in self.writers:
+            w.close()
+        if cfg.silver_path and cfg.max_paths > curr_path:
+            print(f"WARNING: Expected {cfg.max_paths} silver paths, "
+                  f"but only {curr_path} generated.")
+        st.wall_assign_s += time.time() - t0
+
+    # ------------------------------------------------------------------
+    def run(self, input_path: str | None = None) -> EngineStats:
+        path = input_path or self.cfg.input
+        fmt = fastq.detect_format(path)
+        if fmt != "fastq":
+            raise RuntimeError("Gold Path requires fastq format")
+        self.calc_phred_threshold(path)
+        self.fill(path)
+        self.assign(path)
+        return self.stats
