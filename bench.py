@@ -1,0 +1,106 @@
+"""Single-chip benchmark of the golden-path hot loop.
+
+Measures steady-state throughput of the core compute path — spaced-seed
+hashing -> miBF probe -> per-tile vote -> smoothing/decision — for 30 kb
+reads against an HBM-resident filter sized for a 50 Mbp genome at default
+parameters (realistic random-gather pressure).  Prints ONE JSON line.
+
+Baseline: the reference runs the full pipeline on 67x human ONT
+(~6.7M reads) in 16.6 h on 48 Xeon threads (README.md:117-121); attributing
+one third of the wall clock to the two goldrush-path passes gives
+~340 reads/s for the 48-thread C++ golden-path engine.  vs_baseline is
+measured reads/s divided by that estimate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import goldrush_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from goldrush_tpu.mibf import mibf as dm
+from goldrush_tpu.ops.nthash import build_seed_family
+from goldrush_tpu.ops.seeds import make_seed_pattern
+from goldrush_tpu.parallel.mesh import classify_step
+
+BASELINE_READS_PER_S = 340.0
+
+READ_LEN = 30_000
+TILES = 30
+BATCH = 16
+GENOME = 50_000_000
+
+
+def build_filter(size: int, occupancy: float, n_ids: int, key) -> jax.Array:
+    """Synthetic steady-state filter: `occupancy` of slots present, half of
+    present slots holding a recruited block ID."""
+    chunk = 1 << 27
+    parts = []
+    for lo in range(0, size + 1, chunk):
+        n = min(chunk, size + 1 - lo)
+        key, k1, k2 = jax.random.split(key, 3)
+        r = jax.random.randint(k1, (n,), 0, 1 << 30, dtype=jnp.uint32)
+        ids = jax.random.randint(k2, (n,), 1, n_ids, dtype=jnp.uint32)
+        present = r < jnp.uint32(int(occupancy * (1 << 30)))
+        with_id = r < jnp.uint32(int(0.5 * occupancy * (1 << 30)))
+        w = jnp.where(present, dm.PRESENT_BIT, 0).astype(jnp.uint32)
+        w = jnp.where(with_id, w | ids, w)
+        parts.append(w)
+    return jnp.concatenate(parts)
+
+
+def main():
+    seeds = make_seed_pattern("1011011110110111101101", 22, 16, 3)
+    fam = build_seed_family(seeds)
+    universe = int(min(4 ** 16, 2 * GENOME) * 0.5 * 3)
+    import math
+    size = int(-universe / math.log(0.9))
+    size += 64 - size % 64
+    params = dm.MibfParams(size=size, h=3, k=22, spans=(22, 23, 24),
+                           tile_length=1000, threshold=10, block_size=10,
+                           vote_topk=32)
+    key = jax.random.PRNGKey(0)
+    words = build_filter(size, 0.1, 200_000, key)
+    rng = np.random.default_rng(1)
+    n_batches = 4
+    codes = [rng.integers(0, 4, (BATCH, READ_LEN + 1024)).astype(np.uint8)
+             for _ in range(n_batches)]
+    lengths = jnp.full(BATCH, READ_LEN, dtype=jnp.int32)
+
+    def step(words, c, lengths):
+        res, _, votes = classify_step(words, c, lengths, fam, params, TILES,
+                                      threshold=10, unassigned_min=5,
+                                      assigned_max=1)
+        return res.decision, res.num_assigned, votes.queries
+
+    jstep = jax.jit(step)
+    dev_codes = [jnp.asarray(c) for c in codes]
+    # warmup/compile
+    jax.block_until_ready(jstep(words, dev_codes[0], lengths))
+    t0 = time.time()
+    reps = 3
+    for r in range(reps):
+        for c in dev_codes:
+            out = jstep(words, c, lengths)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    n_reads = reps * n_batches * BATCH
+    reads_per_s = n_reads / dt
+    queries_per_s = reads_per_s * TILES * (1000 - 21)
+    result = {
+        "metric": "golden_path_classify_reads_per_s",
+        "value": round(reads_per_s, 2),
+        "unit": "reads/s (30kb reads, 50Mbp-genome miBF, single chip)",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "queries_per_s": round(queries_per_s),
+        "device": str(jax.devices()[0]),
+        "wall_s": round(dt, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

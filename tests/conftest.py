@@ -18,3 +18,11 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
+
+# This environment force-registers the TPU platform and ignores
+# JAX_PLATFORMS=cpu; pin the default device to the cpu backend so tests do
+# not contend with bench/dev runs for the single TPU chip.
+import jax  # noqa: E402
+
+if any(d.platform != "cpu" for d in jax.devices()):
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
