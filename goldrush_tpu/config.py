@@ -60,6 +60,10 @@ class PathConfig:
                                     # with count>2; overflow is counted + logged)
     mibf_mode: str = "direct"       # "direct" (slot-indexed ids) | "compressed"
                                     # (rank-compressed like MIBloomFilter.hpp:94-101)
+    frame_stride: int = 1           # probe every Nth frame per tile with
+                                    # thresholds scaled by N (1 = exact
+                                    # reference semantics; >1 = throughput
+                                    # mode, inserts stay full-resolution)
     use_pallas: bool = True         # fused Pallas probe kernel where available
     devices: int = 0                # 0 = all local devices
 

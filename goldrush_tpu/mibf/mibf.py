@@ -47,6 +47,16 @@ class MibfParams:
     threshold: int = 10        # -x
     block_size: int = 10       # -b
     vote_topk: int = 16
+    # throughput mode: probe every frame_stride-th frame of a tile instead of
+    # all tile_length frames (the reference brute-forces every position,
+    # goldrush_path.cpp:559-561; on TPU the probe gathers are the reads/s
+    # ceiling, and sampled voting with proportionally scaled thresholds keeps
+    # the classifier's operating point).  Insertion always uses every frame,
+    # so sampled queries of later reads still hit recruited regions at any
+    # alignment offset.  stride=1 == exact reference semantics.
+    frame_stride: int = 1
+    vote_min: int = 2          # candidate gate "count > vote_min"
+                               # (reference: count > 2, goldrush_path.cpp:616)
 
     @property
     def idx_dtype(self):
@@ -89,6 +99,12 @@ def fill_presence(words: jax.Array, hashes: jax.Array, valid: jax.Array,
 # tile/frame slot grid
 # ---------------------------------------------------------------------------
 
+def position_slots(hashes: jax.Array, size: int, idx_dtype) -> jax.Array:
+    """fastrange the whole-read hash array once: uint64 [B,h,P] -> slot
+    indices [B,h,P] (no sentinel; masking happens downstream)."""
+    return fastrange(hashes, size).astype(idx_dtype)
+
+
 @partial(jax.jit, static_argnames=("params", "num_tiles_max"))
 def tile_slot_grid(hashes: jax.Array, lengths: jax.Array,
                    params: MibfParams, num_tiles_max: int
@@ -97,37 +113,52 @@ def tile_slot_grid(hashes: jax.Array, lengths: jax.Array,
 
     hashes: uint64 [B, h, P] canonical hashes (P >= num_tiles_max*tile_length)
     lengths: int32 [B] true read lengths.
-    Returns (slots [B, T, F, H] idx_dtype with sentinel for invalid,
-             frame_ok [B, T, F] bool).
+    Returns (slots [B, H, T*F] idx_dtype with sentinel for invalid,
+             frame_ok [B, T*F] bool) — seed-major so every array keeps a
+    large minor dimension (a [..., h] minor axis wastes 125/128 lanes of
+    every TPU tile and slows gathers ~50x).
 
     Tile t covers read[t*TL : t*TL + TL + k - 1] (read_hashing.cpp:44-46);
     frame f of seed s probes global position t*TL + min(f, L_t - span_s) —
     the clamp reproduces the stale-tail lockstep of
-    multiLensfrHashIterator.hpp:49-67.
+    multiLensfrHashIterator.hpp:49-67.  Because that position map is the
+    identity everywhere except the <= (span_s - k) stale frames at each
+    tile's end, the grid is a plain slice plus a [B, T]-sized fix-up gather
+    instead of a full [B, T*F] gather.
     """
     TL, k = params.tile_length, params.k
+    S = params.frame_stride
     B = hashes.shape[0]
-    T, F, H = num_tiles_max, TL, params.h
-    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None, None]        # [T,1,1]
-    f_idx = jnp.arange(F, dtype=jnp.int32)[None, :, None]        # [1,F,1]
-    spans = jnp.asarray(params.spans, dtype=jnp.int32)[None, None, :]
-    L = lengths.astype(jnp.int32)[:, None, None, None]           # [B,1,1,1]
-    tile_len = jnp.minimum(TL + k - 1, L - t_idx * TL)           # [B,T,1,1]
-    num_tiles = L // TL
-    frames_t = tile_len - k + 1                                  # [B,T,1,1]
-    pos = t_idx * TL + jnp.minimum(f_idx, tile_len - spans)      # [B,T,F,H]
-    valid = (t_idx < num_tiles) & (f_idx < frames_t)             # [B,T,F,1]
-    pos = jnp.clip(pos, 0, hashes.shape[2] - 1)
-    # gather hashes[b, s, pos] via one flat index per element
-    s_idx = jnp.arange(H, dtype=jnp.int32)[None, None, None, :]
-    flat = hashes.reshape(B, -1)                                 # [B, h*P]
+    T, F, H = num_tiles_max, TL // S, params.h
     P = hashes.shape[2]
-    gidx = s_idx * P + pos                                       # [B,T,F,H]
-    hv = jnp.take_along_axis(flat, gidx.reshape(B, -1), axis=1).reshape(
-        B, T, F, H)
-    slots = fastrange(hv, params.size)
-    slots = jnp.where(valid, slots, jnp.uint64(params.size))
-    return slots.astype(params.idx_dtype), valid[..., 0]
+    spos = position_slots(hashes, params.size, params.idx_dtype)
+    sentinel = jnp.asarray(params.size, dtype=params.idx_dtype)
+    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]              # [T,1]
+    f_idx = jnp.arange(F, dtype=jnp.int32)[None, :] * S          # [1,F] actual
+    L = lengths.astype(jnp.int32)[:, None]                       # [B,1]
+    tile_len = jnp.minimum(TL + k - 1, L - t_idx.T * TL)         # [B,T]
+    num_tiles = L // TL                                          # [B,1]
+    frames_t = tile_len - k + 1                                  # [B,T]
+    in_read = t_idx.T < num_tiles                                # [B,T]
+    frame_ok = (in_read[:, :, None]
+                & (f_idx[None, :, :] < frames_t[:, :, None])
+                ).reshape(B, T * F)
+    slot_list = []
+    for s in range(H):
+        # strided slice of the identity position map (tile t frame j probes
+        # global position t*TL + j*S)
+        base = spos[:, s, : T * TL: S]                           # [B, T*F]
+        F_ts = frames_t - (params.spans[s] - k)                  # [B,T]
+        clamp_idx = jnp.clip(t_idx.T * TL + F_ts - 1, 0, P - 1)
+        vals = jnp.take_along_axis(spos[:, s, :], clamp_idx, axis=1)  # [B,T]
+        fix = (f_idx[None, :, :] >= jnp.maximum(F_ts, 0)[:, :, None]
+               ).reshape(B, T * F)
+        vals_exp = jnp.broadcast_to(vals[:, :, None],
+                                    (B, T, F)).reshape(B, T * F)
+        arr = jnp.where(fix, vals_exp, base)
+        slot_list.append(jnp.where(frame_ok, arr, sentinel))
+    slots = jnp.stack(slot_list, axis=1)                         # [B, H, TF]
+    return slots, frame_ok
 
 
 # ---------------------------------------------------------------------------
@@ -146,30 +177,46 @@ class VoteResult(NamedTuple):
     misses: jax.Array       # int64  [B]
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "num_tiles"))
 def probe_and_vote(words: jax.Array, slots: jax.Array, frame_ok: jax.Array,
-                   params: MibfParams) -> VoteResult:
-    """Batched miBF probe + per-tile ID voting (goldrush_path.cpp:544-634)."""
-    B, T, F, H = slots.shape
+                   params: MibfParams, num_tiles: int) -> VoteResult:
+    """Batched miBF probe + per-tile ID voting (goldrush_path.cpp:544-634).
+
+    slots: [B, H, T*F] seed-major probe grid; frame_ok: [B, T*F]."""
+    B, H, TF = slots.shape
+    T = num_tiles
+    F = TF // T
     K = params.vote_topk
-    w = words[slots]                                     # [B,T,F,H] gather
-    present = (w & PRESENT_BIT) != 0
-    frame_present = present.all(axis=-1) & frame_ok      # [B,T,F] atRank gate
-    ids = jnp.where(w > SAT_BIT, w & jnp.uint32(~SAT_BIT), w) & ID_MASK
-    ids = jnp.where(frame_present[..., None], ids, 0)
+    ws = [words[slots[:, s, :]] for s in range(H)]       # H gathers [B, TF]
+    present = ws[0] & PRESENT_BIT
+    for s in range(1, H):
+        present = present & ws[s]
+    frame_present = ((present & PRESENT_BIT) != 0) & frame_ok    # atRank gate
+    id_list = []
+    for s in range(H):
+        w = ws[s]
+        ids = jnp.where(w > SAT_BIT, w & jnp.uint32(~SAT_BIT), w) & ID_MASK
+        id_list.append(jnp.where(frame_present, ids, 0))
     # counters (goldrush_path.cpp:567-594): queries per frame; hit/miss only
     # counted inside present frames
-    queries = frame_ok.sum(axis=(1, 2), dtype=jnp.int64)
-    pm = frame_present[..., None]
-    hits = (pm & (ids != 0)).sum(axis=(1, 2, 3), dtype=jnp.int64)
-    misses = (pm & (ids == 0)).sum(axis=(1, 2, 3), dtype=jnp.int64)
+    queries = frame_ok.sum(axis=1, dtype=jnp.int64)
+    hits = jnp.zeros(B, dtype=jnp.int64)
+    misses = jnp.zeros(B, dtype=jnp.int64)
+    for s in range(H):
+        hits += (frame_present & (id_list[s] != 0)).sum(axis=1,
+                                                        dtype=jnp.int64)
+        misses += (frame_present & (id_list[s] == 0)).sum(axis=1,
+                                                          dtype=jnp.int64)
     # dedupe ids within a frame (the per-frame unique_ids set)
     for j in range(1, H):
-        dup = jnp.zeros(ids.shape[:-1], dtype=bool)
+        dup = jnp.zeros_like(id_list[j], dtype=bool)
         for i in range(j):
-            dup = dup | (ids[..., j] == ids[..., i])
-        ids = ids.at[..., j].set(jnp.where(dup, 0, ids[..., j]))
-    votes = ids.reshape(B * T, F * H)
+            dup = dup | (id_list[j] == id_list[i])
+        id_list[j] = jnp.where(dup, 0, id_list[j])
+    # per-tile rows: [B*T, H*F] (seed blocks concatenated; within-row order
+    # is irrelevant to counting)
+    votes = jnp.concatenate(
+        [v.reshape(B * T, F) for v in id_list], axis=1)
     votes = jnp.sort(votes, axis=1)                      # ascending, 0s first
     prev = jnp.pad(votes[:, :-1], ((0, 0), (1, 0)))
     is_start = (votes != 0) & (votes != prev)
@@ -196,11 +243,12 @@ def probe_and_vote(words: jax.Array, slots: jax.Array, frame_ok: jax.Array,
     top_ids = jnp.where(top_counts > 0, top_ids, 0)
     curr_id = top_ids[:, 0]
     top_count = top_counts[:, 0]
-    over2 = top_counts > 2
+    over2 = top_counts > params.vote_min
     cand_ids = jnp.where(over2[:, :K], top_ids[:, :K], 0)
     cand_counts = jnp.where(over2[:, :K], top_counts[:, :K], 0)
     overflow = jnp.maximum(over2.sum(axis=1) - K, 0).astype(jnp.int32)
-    bool_init = (top_count > 2) & (top_count > params.threshold)
+    bool_init = (top_count > params.vote_min) & \
+        (top_count > params.threshold)
     return VoteResult(
         curr_id=curr_id.reshape(B, T),
         top_count=top_count.reshape(B, T),
@@ -216,22 +264,25 @@ def probe_and_vote(words: jax.Array, slots: jax.Array, frame_ok: jax.Array,
 # insertion
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("params", "max_blocks"))
+@partial(jax.jit, static_argnames=("params", "max_blocks", "num_tiles"))
 def insert_read(state: MibfState, slots: jax.Array, tile_lo: jax.Array,
                 tile_hi: jax.Array, base_id: jax.Array, trimmed: jax.Array,
-                params: MibfParams, max_blocks: int) -> MibfState:
+                params: MibfParams, max_blocks: int, num_tiles: int
+                ) -> MibfState:
     """Insert one read's tile blocks (process_read, goldrush_path.cpp:983-994
     untrimmed / :1041-1053 trimmed).
 
-    slots: [T, F, H] probe grid of the read (sentinel-padded); tiles in
-    [tile_lo, tile_hi] (inclusive) are grouped into blocks of ``block_size``
-    consecutive tiles; block m gets ID base_id + m (the trimmed path's
-    ``(m*bs+1)/bs`` index reduces to m for bs>1; for bs==1 it is m+1 —
-    reproduced exactly below).  Blocks are inserted sequentially, matching
-    the reference's per-read insertion order so cross-block counter updates
-    on shared slots agree with the oracle.
+    slots: [H, T*F] seed-major probe grid of the read (sentinel-padded);
+    tiles in [tile_lo, tile_hi] (inclusive) are grouped into blocks of
+    ``block_size`` consecutive tiles; block m gets ID base_id + m (the
+    trimmed path's ``(m*bs+1)/bs`` index reduces to m for bs>1; for bs==1
+    it is m+1 — reproduced exactly below).  Blocks are inserted
+    sequentially, matching the reference's per-read insertion order so
+    cross-block counter updates on shared slots agree with the oracle.
     """
-    T, F, H = slots.shape
+    H, TF = slots.shape
+    T = num_tiles
+    F = TF // T
     bs = params.block_size
     sentinel = jnp.asarray(params.size, dtype=slots.dtype)
     words0, counts0 = state
@@ -244,9 +295,9 @@ def insert_read(state: MibfState, slots: jax.Array, tile_lo: jax.Array,
             trimmed,
             base_id + (m * bs + 1) // bs,
             base_id + m).astype(jnp.uint32)
-        t_idx = jnp.arange(T, dtype=jnp.int32)
-        in_block = (t_idx >= lo) & (t_idx <= hi)
-        s = jnp.where(in_block[:, None, None], slots, sentinel).reshape(-1)
+        t_of = jnp.arange(TF, dtype=jnp.int32) // F
+        in_block = (t_of >= lo) & (t_of <= hi)
+        s = jnp.where(in_block[None, :], slots, sentinel).reshape(-1)
         s = jax.lax.sort(s)
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
         u_first = (s != prev) & (s != sentinel)

@@ -106,6 +106,25 @@ def _rol64_var(x: jax.Array, r: jax.Array) -> jax.Array:
     return jnp.where(r == 0, x, shifted)
 
 
+def _rol64_pair(hi: jax.Array, lo: jax.Array, r: jax.Array):
+    """Rotate-left of a (hi, lo) uint32 pair by per-element r in [0, 64).
+
+    Explicit 32-bit formulation: XLA's emulated uint64 variable shifts are an
+    order of magnitude slower on TPU than these few u32 selects/shifts."""
+    r = r.astype(jnp.uint32)
+    r32 = r & 31
+    big = (r & 32) != 0
+    inv = (jnp.uint32(32) - r32) & 31
+    h1 = jnp.where(r32 == 0, hi, (hi << r32) | (lo >> inv))
+    l1 = jnp.where(r32 == 0, lo, (lo << r32) | (hi >> inv))
+    return jnp.where(big, l1, h1), jnp.where(big, h1, l1)
+
+
+def _min64_pair(ah, al, bh, bl):
+    a_lt = (ah < bh) | ((ah == bh) & (al < bl))
+    return jnp.where(a_lt, ah, bh), jnp.where(a_lt, al, bl)
+
+
 @partial(jax.jit, static_argnames=("fam", "num_frames"))
 def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
                    ) -> jax.Array:
@@ -116,6 +135,10 @@ def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
     where entry [b, s, p] is the canonical spaced-seed hash of
     codes[b, p : p+span_s].  Frames past a read's valid range contain garbage
     the caller must mask/clamp (see mibf.query).
+
+    Internals run on explicit (hi, lo) uint32 pairs — u64 exists only at the
+    table-gather and final assembly, sidestepping XLA's slow emulated u64
+    variable shifts on TPU.
     """
     B, L = codes.shape
     need = num_frames + fam.pad_needed
@@ -123,31 +146,60 @@ def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
         codes = jnp.pad(codes, ((0, 0), (0, need - L)))
         L = need
     codes = codes.astype(jnp.int32)
+    # Per-base rotated constants along the position axis: ROT[b][i] is a
+    # function of (b, i mod 64) only, so build [4, L] constant rows once and
+    # select by the 2 base bits — three elementwise selects instead of a
+    # small-table gather (XLA lowers tiny-table gathers ~15x slower).
     pos = jnp.arange(L, dtype=jnp.int32)
-    flat_idx = ((pos % 64) << 2)[None, :] + codes
-    u_f = fam.rot_f[flat_idx]        # [B, L] uint64
-    u_r = fam.rot_r[flat_idx]
+    rowf = fam.rot_f.reshape(64, 4).T[:, pos % 64]        # [4, L] u64
+    rowr = fam.rot_r.reshape(64, 4).T[:, pos % 64]
 
-    def corr(u, offsets, width):
-        acc = jnp.zeros((B, width), dtype=jnp.uint64)
+    def split(x):
+        return (x >> jnp.uint64(32)).astype(jnp.uint32), \
+               (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    b0 = (codes & 1) == 1
+    b1 = (codes & 2) == 2
+
+    def sel(rows):
+        hi_rows, lo_rows = split(rows)          # [4, L] u32 each
+        lo_pair = jnp.where(b0, lo_rows[1][None, :], lo_rows[0][None, :])
+        lo_pair2 = jnp.where(b0, lo_rows[3][None, :], lo_rows[2][None, :])
+        lo = jnp.where(b1, lo_pair2, lo_pair)
+        hi_pair = jnp.where(b0, hi_rows[1][None, :], hi_rows[0][None, :])
+        hi_pair2 = jnp.where(b0, hi_rows[3][None, :], hi_rows[2][None, :])
+        hi = jnp.where(b1, hi_pair2, hi_pair)
+        return hi, lo
+
+    uf_hi, uf_lo = sel(rowf)
+    ur_hi, ur_lo = sel(rowr)
+
+    def corr(hi, lo, offsets, width):
+        ah = jnp.zeros((B, width), dtype=jnp.uint32)
+        al = jnp.zeros((B, width), dtype=jnp.uint32)
         for c in offsets:
-            acc = acc ^ jax.lax.dynamic_slice_in_dim(u, c, width, axis=1)
-        return acc
+            ah = ah ^ jax.lax.dynamic_slice_in_dim(hi, c, width, axis=1)
+            al = al ^ jax.lax.dynamic_slice_in_dim(lo, c, width, axis=1)
+        return ah, al
 
     P = num_frames
     span_extra = fam.half + (fam.h - 1)   # widest right-half start offset
-    vl = corr(u_f, fam.care_left, P)
-    vr = corr(u_f, fam.care_right, P + span_extra)
-    wl = corr(u_r, fam.care_left, P)
-    wr = corr(u_r, fam.care_right, P + span_extra)
+    vlh, vll = corr(uf_hi, uf_lo, fam.care_left, P)
+    vrh, vrl = corr(uf_hi, uf_lo, fam.care_right, P + span_extra)
+    wlh, wll = corr(ur_hi, ur_lo, fam.care_left, P)
+    wrh, wrl = corr(ur_hi, ur_lo, fam.care_right, P + span_extra)
 
     p_idx = jnp.arange(P, dtype=jnp.int32)
     outs = []
     for s in range(fam.h):
         off = fam.half + s
-        v = vl ^ jax.lax.dynamic_slice_in_dim(vr, off, P, axis=1)
-        w = wl ^ jax.lax.dynamic_slice_in_dim(wr, off, P, axis=1)
-        fwd = _rol64_var(v, (fam.spans[s] - 1 + p_idx) % 64)
-        rev = _rol64_var(w, (64 - p_idx % 64) % 64)
-        outs.append(jnp.minimum(fwd, rev))
+        sl = partial(jax.lax.dynamic_slice_in_dim, start_index=off,
+                     slice_size=P, axis=1)
+        vh, vl_ = vlh ^ sl(vrh), vll ^ sl(vrl)
+        wh, wl_ = wlh ^ sl(wrh), wll ^ sl(wrl)
+        fh, fl = _rol64_pair(vh, vl_, (fam.spans[s] - 1 + p_idx) % 64)
+        rh, rl = _rol64_pair(wh, wl_, (64 - p_idx % 64) % 64)
+        mh, ml = _min64_pair(fh, fl, rh, rl)
+        outs.append((mh.astype(jnp.uint64) << jnp.uint64(32))
+                    | ml.astype(jnp.uint64))
     return jnp.stack(outs, axis=1)    # [B, h, P]

@@ -67,7 +67,8 @@ def classify_step(words, codes, lengths, fam: SeedFamily,
     hashes = hash_positions(codes, fam, P_frames)
     slots, frame_ok = dm.tile_slot_grid(hashes, lengths, params,
                                         num_tiles_max)
-    votes = dm.probe_and_vote(words, slots, frame_ok, params)
+    votes = dm.probe_and_vote(words, slots, frame_ok, params,
+                              num_tiles=num_tiles_max)
     res = classify_batch(votes.curr_id, votes.top_count, votes.cand_ids,
                          votes.cand_counts,
                          (lengths // params.tile_length).astype(jnp.int32),
@@ -96,7 +97,8 @@ def train_step(state: dm.MibfState, codes, lengths, base_ids, fam: SeedFamily,
         lo = jnp.where(dec == 0, jnp.int32(1), lo)
         hi = jnp.where(dec == 0, jnp.int32(0), hi)
         st = dm.insert_read(st, slots_row, lo, hi, bid.astype(jnp.uint32),
-                            dec == 2, params, max_blocks=max_blocks)
+                            dec == 2, params, max_blocks=max_blocks,
+                            num_tiles=num_tiles_max)
         return st, dec
 
     n_tiles = (lengths // params.tile_length).astype(jnp.int32)

@@ -22,6 +22,7 @@ since batch start — so with batch_reads=1 the engine is bit-exact sequential
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 
@@ -84,11 +85,19 @@ class GoldenPathEngine:
         self.fam = build_seed_family(self.seeds)
         self.universe = cfg.derived_hash_universe()
         self.size = calc_optimal_size(self.universe, 1, cfg.occupancy)
+        S = cfg.frame_stride
+        if cfg.tile_length % S:
+            raise ValueError("frame_stride must divide tile_length")
+        self.x_eff = max(1, cfg.threshold // S)
         self.params = dm.MibfParams(
             size=self.size, h=cfg.hash_num, k=cfg.kmer_size,
             spans=tuple(len(s) for s in self.seeds),
-            tile_length=cfg.tile_length, threshold=cfg.threshold,
-            block_size=cfg.block_size, vote_topk=cfg.vote_topk)
+            tile_length=cfg.tile_length, threshold=self.x_eff,
+            block_size=cfg.block_size, vote_topk=cfg.vote_topk,
+            frame_stride=S, vote_min=2 // S)
+        # insertion is always full-resolution regardless of the query stride
+        self.params_full = dataclasses.replace(
+            self.params, frame_stride=1, vote_min=2, threshold=cfg.threshold)
         self.state = dm.init_state(self.params)
         self.filter_out: set[str] = set()
         self.phred_min = cfg.phred_min
@@ -206,20 +215,29 @@ class GoldenPathEngine:
         slots, frame_ok = dm.tile_slot_grid(
             hashes, jnp.asarray(lengths), self.params, T)
         votes = dm.probe_and_vote(self.state.words, slots, frame_ok,
-                                  self.params)
+                                  self.params, num_tiles=T)
         res = classify_batch(
             votes.curr_id, votes.top_count, votes.cand_ids, votes.cand_counts,
             jnp.asarray(lengths // self.params.tile_length, dtype=jnp.int32),
-            self.cfg.threshold, self.cfg.unassigned_min, self.cfg.assigned_max)
+            self.x_eff, self.cfg.unassigned_min, self.cfg.assigned_max)
         return slots, votes, res
+
+    def _full_slots(self, codes_row, length, T):
+        """Full-resolution probe grid of one read, for insertion (queries may
+        be strided; inserts never are)."""
+        P = T * self.params.tile_length
+        hashes = hash_positions(codes_row, self.fam, P)
+        slots, _ = dm.tile_slot_grid(hashes, jnp.asarray(length),
+                                     self.params_full, T)
+        return slots[0]
 
     def _insert(self, slots_row, tile_lo, tile_hi, base_id, trimmed, T):
         key = T
         if key not in self._insert_fn:
             max_blocks = -(-T // self.params.block_size) + 1
             self._insert_fn[key] = lambda st, s, lo, hi, bid, tr: \
-                dm.insert_read(st, s, lo, hi, bid, tr, self.params,
-                               max_blocks=max_blocks)
+                dm.insert_read(st, s, lo, hi, bid, tr, self.params_full,
+                               max_blocks=max_blocks, num_tiles=T)
         self.state = self._insert_fn[key](
             self.state, slots_row, jnp.int32(tile_lo), jnp.int32(tile_hi),
             jnp.uint32(base_id), jnp.asarray(bool(trimmed)))
@@ -292,6 +310,9 @@ class GoldenPathEngine:
                     slots_row = slots[i]
                 st.assigned_tiles += na
                 st.unassigned_tiles += num_tiles - na
+                if dec in (1, 2) and self.cfg.frame_stride != 1:
+                    slots_row = self._full_slots(codes[i:i + 1],
+                                                 lengths[i:i + 1], T)
                 if dec == 1:        # recruit whole read
                     ids_inserted += 1
                     self._insert(slots_row, 0, num_tiles - 1, ids_inserted,

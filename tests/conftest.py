@@ -19,10 +19,10 @@ if str(REPO) not in sys.path:
 
 FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
 
-# This environment force-registers the TPU platform and ignores
-# JAX_PLATFORMS=cpu; pin the default device to the cpu backend so tests do
-# not contend with bench/dev runs for the single TPU chip.
+# This environment force-registers the TPU platform (JAX_PLATFORMS env is
+# ignored) and even initializing the TPU client contends with other processes
+# for the tunnel.  The config route does work — pin tests to cpu before any
+# backend initialization.
 import jax  # noqa: E402
 
-if any(d.platform != "cpu" for d in jax.devices()):
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+jax.config.update("jax_platforms", "cpu")

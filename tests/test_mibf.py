@@ -56,23 +56,27 @@ def test_slot_grid_matches_oracle_tiling():
     lengths = [505, 423, 150]
     codes, lens, reads = make_batch(lengths)
     T = max(lengths) // TL
+    F = TL
     slots, frame_ok = device_grid(codes, lens, T)
     slots, frame_ok = np.asarray(slots), np.asarray(frame_ok)
     for b, read in enumerate(reads):
         tiles = onthash.tile_frame_hashes(read, SEEDS, TL)
         assert len(tiles) == lengths[b] // TL
         for t in range(T):
+            lo = t * F
             if t < len(tiles):
                 flat = tiles[t]
                 F_t = len(flat) // 3
                 want = fastrange64(flat, SIZE).reshape(F_t, 3)
-                assert frame_ok[b, t, :F_t].all()
-                assert not frame_ok[b, t, F_t:].any()
-                np.testing.assert_array_equal(slots[b, t, :F_t], want)
-                assert (slots[b, t, F_t:] == SIZE).all()
+                assert frame_ok[b, lo:lo + F_t].all()
+                assert not frame_ok[b, lo + F_t:lo + F].any()
+                for s in range(3):
+                    np.testing.assert_array_equal(
+                        slots[b, s, lo:lo + F_t], want[:, s])
+                assert (slots[b, :, lo + F_t:lo + F] == SIZE).all()
             else:
-                assert not frame_ok[b, t].any()
-                assert (slots[b, t] == SIZE).all()
+                assert not frame_ok[b, lo:lo + F].any()
+                assert (slots[b, :, lo:lo + F] == SIZE).all()
 
 
 def test_fill_presence_parity():
@@ -137,7 +141,8 @@ def test_probe_vote_and_insert_parity():
         lens = np.array([len(read)], dtype=np.int32)
         slots, frame_ok = device_grid(codes, lens, T)
         # --- votes must match oracle ---
-        res = dm.probe_and_vote(state.words, slots, frame_ok, PARAMS)
+        res = dm.probe_and_vote(state.words, slots, frame_ok, PARAMS,
+                                num_tiles=T)
         tiles = onthash.tile_frame_hashes(read, SEEDS, TL)
         oq = oh = om = 0
         for t, flat in enumerate(tiles):
@@ -168,7 +173,8 @@ def test_probe_vote_and_insert_parity():
             m += 1
         state = dm.insert_read(
             state, slots[0], jnp.int32(0), jnp.int32(num_tiles - 1),
-            jnp.uint32(base_id), jnp.asarray(False), PARAMS, max_blocks=4)
+            jnp.uint32(base_id), jnp.asarray(False), PARAMS, max_blocks=4,
+            num_tiles=T)
         base_id += (num_tiles + bs - 1) // bs + 3   # arbitrary id gaps
         np.testing.assert_array_equal(np.asarray(state.words)[:SIZE],
                                       oracle.words[:SIZE], err_msg=f"s{step}")
@@ -192,7 +198,7 @@ def test_probe_vote_and_insert_parity():
         block_start += bs
     state = dm.insert_read(state, slots[0], jnp.int32(lo), jnp.int32(hi),
                            jnp.uint32(bid), jnp.asarray(True), PARAMS,
-                           max_blocks=4)
+                           max_blocks=4, num_tiles=T)
     np.testing.assert_array_equal(np.asarray(state.words)[:SIZE],
                                   oracle.words[:SIZE])
     np.testing.assert_array_equal(np.asarray(state.counts)[:SIZE],
