@@ -1,0 +1,91 @@
+"""Minimizer computation — shared infrastructure for the downstream stages.
+
+The reference delegates minimizer work to external tools (ntLink/btllib for
+scaffolding+gap fill, minimap2 for polishing alignments; bin/goldrush:266-296).
+Here minimizers are computed on device with the same ntHash machinery as the
+golden-path engine: an all-care "spaced" seed of span k is exactly the
+classic unspaced canonical ntHash.
+
+Windowed selection is the standard (w,k)-minimizer rule: for every window of
+w consecutive k-mers keep the position of the smallest hash (ties -> leftmost),
+computed as a reduce-window min over (hash, position)-packed keys.
+"""
+
+from __future__ import annotations
+
+from functools import partial, lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nthash import build_seed_family, hash_positions
+from . import nthash_np
+
+
+@lru_cache(maxsize=None)
+def _unspaced_family(k: int):
+    return build_seed_family(["1" * k])
+
+
+@partial(jax.jit, static_argnames=("k", "w", "num_positions"))
+def minimizer_keys(codes: jax.Array, k: int, w: int, num_positions: int
+                   ) -> jax.Array:
+    """Packed minimizer keys per window for a padded batch.
+
+    codes: uint8 [B, L]; returns uint64 [B, num_windows] where each entry is
+    (hash << 20 | position) of the window minimizer; num_windows =
+    num_positions - w + 1.  Caller masks windows beyond a sequence's valid
+    range and dedupes repeated selections.
+    """
+    fam = _unspaced_family(k)
+    hashes = hash_positions(codes, fam, num_positions)[:, 0, :]   # [B, P]
+    pos = jnp.arange(num_positions, dtype=jnp.uint64)
+    # keep the top 44 bits of the hash; low 20 bits carry the position
+    keys = ((hashes >> jnp.uint64(20)) << jnp.uint64(20)) | pos
+    nw = num_positions - w + 1
+    mins = jax.lax.reduce_window(
+        keys, jnp.uint64(0xFFFFFFFFFFFFFFFF), jax.lax.min,
+        window_dimensions=(1, w), window_strides=(1, 1), padding="VALID")
+    return mins                                                   # [B, nw]
+
+
+def minimizers_np(seq_codes: np.ndarray, k: int, w: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Host oracle: (positions, hashes) of the (w,k)-minimizer set."""
+    fwd, rev = nthash_np.seed_hashes(seq_codes, "1" * k)
+    h = np.minimum(fwd, rev)
+    P = h.shape[0]
+    if P < w:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    keys = ((h >> np.uint64(20)) << np.uint64(20)) | np.arange(P, dtype=np.uint64)
+    nw = P - w + 1
+    # sliding window min
+    from numpy.lib.stride_tricks import sliding_window_view
+    mins = sliding_window_view(keys, w).min(axis=1)
+    sel = np.unique(mins)
+    pos = (sel & np.uint64((1 << 20) - 1)).astype(np.int64)
+    return pos, h[pos]
+
+
+def batch_minimizers(codes: np.ndarray, lengths: np.ndarray, k: int, w: int
+                     ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Device-computed minimizers for a padded batch; returns per-sequence
+    (positions, hashes) with window masking and dedupe done host-side."""
+    B, L = codes.shape
+    P = max(L - k + 1, w)
+    keys = np.asarray(minimizer_keys(codes, k, w, P))
+    fam = _unspaced_family(k)
+    hashes = np.asarray(hash_positions(codes, fam, P)[:, 0, :])
+    out = []
+    for b in range(B):
+        nvalid = int(lengths[b]) - k + 1
+        nwin = nvalid - w + 1
+        if nwin <= 0:
+            out.append((np.zeros(0, np.int64), np.zeros(0, np.uint64)))
+            continue
+        sel = np.unique(keys[b, :nwin])
+        pos = (sel & np.uint64((1 << 20) - 1)).astype(np.int64)
+        pos = pos[pos < nvalid]
+        out.append((pos, hashes[b, pos]))
+    return out

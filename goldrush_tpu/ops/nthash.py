@@ -55,10 +55,10 @@ class SeedFamily:
     spans: tuple[int, ...]         # span of each seed (k, k+1, ..)
     care_left: tuple[int, ...]     # care offsets within the left half
     care_right: tuple[int, ...]    # care offsets relative to right-half start
-    # device tables are derived from `seeds`; excluded from eq/hash so the
+    # constant tables derived from `seeds`; excluded from eq/hash so the
     # dataclass stays usable as a jit static argument
-    rot_f: jax.Array = dataclasses.field(repr=False, compare=False)
-    rot_r: jax.Array = dataclasses.field(repr=False, compare=False)
+    rot_f: np.ndarray = dataclasses.field(repr=False, compare=False)
+    rot_r: np.ndarray = dataclasses.field(repr=False, compare=False)
 
     @property
     def h(self) -> int:
@@ -88,14 +88,16 @@ def build_seed_family(seeds: list[str]) -> SeedFamily:
     for r in range(64):
         rot_f[r] = _ror64_np(NT_TAB, r)
         rot_r[r] = _rol64_np(NT_TABC, r)
+    # tables stay numpy: they become jit-time constants wherever used, so a
+    # family may safely be constructed (or lru-cached) inside a trace
     return SeedFamily(
         seeds=tuple(seeds),
         half=len(left),
         spans=tuple(len(s) for s in seeds),
         care_left=care_left,
         care_right=care_right,
-        rot_f=jnp.asarray(rot_f.reshape(-1)),
-        rot_r=jnp.asarray(rot_r.reshape(-1)),
+        rot_f=rot_f.reshape(-1),
+        rot_r=rot_r.reshape(-1),
     )
 
 
@@ -150,9 +152,9 @@ def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
     # function of (b, i mod 64) only, so build [4, L] constant rows once and
     # select by the 2 base bits — three elementwise selects instead of a
     # small-table gather (XLA lowers tiny-table gathers ~15x slower).
-    pos = jnp.arange(L, dtype=jnp.int32)
-    rowf = fam.rot_f.reshape(64, 4).T[:, pos % 64]        # [4, L] u64
-    rowr = fam.rot_r.reshape(64, 4).T[:, pos % 64]
+    pos_np = np.arange(L)
+    rowf = jnp.asarray(fam.rot_f.reshape(64, 4).T[:, pos_np % 64])  # [4,L] u64
+    rowr = jnp.asarray(fam.rot_r.reshape(64, 4).T[:, pos_np % 64])
 
     def split(x):
         return (x >> jnp.uint64(32)).astype(jnp.uint32), \

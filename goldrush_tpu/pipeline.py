@@ -1,0 +1,196 @@
+"""Pipeline orchestrator: the 5-stage GoldRush flow with make-style resume.
+
+Replaces the GNU-make driver (bin/goldrush:209-308): every stage writes a
+file whose name encodes its parameters (stage_filenames), a stage is skipped
+when its output already exists (the reference's .SECONDARY/.DELETE_ON_ERROR
+resume semantics), and partial outputs are removed on failure.
+
+Stage chain (bin/goldrush:220-224):
+  silver paths -> concat -> golden path -> polish -> tigmint -> ntLink x rounds
+  -> targeted polish
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from .config import PipelineConfig, stage_filenames
+from .io import fastq
+from .path.engine import GoldenPathEngine
+from .stages import ntlink, polish, targeted, tigmint
+from .utils.stats import assembly_stats
+
+
+def _log(msg: str) -> None:
+    print(msg, flush=True)
+
+
+def _atomic_stage(path: str):
+    """Context manager: write stage output under a temp name, rename on
+    success, delete on failure (.DELETE_ON_ERROR equivalent)."""
+    class _Ctx:
+        def __init__(self, final):
+            self.final = final
+            self.tmp = final + ".partial"
+
+        def __enter__(self):
+            return self.tmp
+
+        def __exit__(self, et, ev, tb):
+            if et is None:
+                os.replace(self.tmp, self.final)
+            elif os.path.exists(self.tmp):
+                os.remove(self.tmp)
+            return False
+    return _Ctx(path)
+
+
+def _read_fasta(path: str) -> list[tuple[str, bytes]]:
+    return [(r.id, r.seq) for r in fastq.read_records(path)]
+
+
+def _load_reads(path: str) -> list[bytes]:
+    return [r.seq for r in fastq.read_records(path)]
+
+
+def run_pipeline(cfg: PipelineConfig, workdir: str = ".",
+                 until: str = "final", frame_stride: int = 1) -> dict:
+    """Run the pipeline up to stage `until` (one of: silver, golden,
+    polished, tigmint, ntlink, final).  Returns stage->path map."""
+    t_start = time.time()
+    cwd = os.getcwd()
+    os.makedirs(workdir, exist_ok=True)
+    os.chdir(workdir)
+    try:
+        return _run(cfg, until, frame_stride, t_start)
+    finally:
+        os.chdir(cwd)
+
+
+def _run(cfg: PipelineConfig, until: str, frame_stride: int,
+         t_start: float) -> dict:
+    files = stage_filenames(cfg)
+    reads_file = None
+    for ext in (".fq", ".fastq", ".fq.gz", ".fastq.gz"):
+        if os.path.exists(cfg.reads + ext):
+            reads_file = cfg.reads + ext
+            break
+    if reads_file is None:
+        raise FileNotFoundError(
+            f"Reads file not found. Expected {cfg.reads}.fq or "
+            f"{cfg.reads}.fastq")
+    if not cfg.G:
+        raise ValueError("G is a required parameter")
+    order = ["silver", "golden", "polished", "tigmint", "ntlink", "final"]
+    stop = order.index(until)
+
+    def stage_time(name, fn):
+        t0 = time.time()
+        out = fn()
+        _log(f"[goldrush-tpu] {name}: {time.time() - t0:.1f}s")
+        return out
+
+    # --- stage 1: silver paths (goldrush-path --silver_path) -------------
+    last_silver = files["silver"][-1]
+    if not os.path.exists(files["silver_all"]):
+        if not os.path.exists(last_silver):
+            def silver():
+                pc = cfg.path_config(silver=True)
+                pc.input = reads_file
+                pc.frame_stride = frame_stride
+                eng = GoldenPathEngine(pc)
+                eng.run()
+            stage_time("goldrush-path (silver)", silver)
+        with _atomic_stage(files["silver_all"]) as tmp:
+            with open(tmp, "wb") as out:
+                for f in files["silver"]:
+                    if os.path.exists(f):
+                        out.write(open(f, "rb").read())
+    if stop <= order.index("silver"):
+        return {"silver_all": files["silver_all"]}
+
+    # --- stage 2: golden path --------------------------------------------
+    if not os.path.exists(files["golden"]):
+        def golden():
+            pc = cfg.path_config(silver=False)
+            pc.input = files["silver_all"]
+            pc.frame_stride = frame_stride
+            eng = GoldenPathEngine(pc)
+            eng.run()
+        stage_time("goldrush-path (golden)", golden)
+    if stop <= order.index("golden"):
+        return {"golden": files["golden"]}
+
+    # --- stage 3: polish (GoldPolish equivalent) --------------------------
+    if not os.path.exists(files["polished"]):
+        def do_polish():
+            contigs = _read_fasta(files["golden"])
+            reads = _load_reads(reads_file)
+            pp = polish.PolishParams(k=min(32, cfg.polish_k))
+            out, edits = polish.run_polish(contigs, reads, pp)
+            with _atomic_stage(files["polished"]) as tmp:
+                fastq.write_fasta(tmp, out)
+            _log(f"[goldrush-tpu] polish edits: {edits}")
+        stage_time("polish", do_polish)
+    if stop <= order.index("polished"):
+        return {"polished": files["polished"]}
+
+    # --- stage 4: tigmint-long equivalent ---------------------------------
+    if not os.path.exists(files["tigmint"]):
+        def do_tigmint():
+            contigs = _read_fasta(files["polished"])
+            reads = [(r.id, r.seq, r.qual)
+                     for r in fastq.read_records(reads_file)]
+            tp = tigmint.TigmintParams(span=cfg.span, dist=cfg.dist,
+                                       cut=cfg.cut)
+            out = tigmint.run_tigmint(contigs, reads, tp)
+            with _atomic_stage(files["tigmint"]) as tmp:
+                fastq.write_fasta(tmp, out)
+        stage_time("tigmint", do_tigmint)
+    if stop <= order.index("tigmint"):
+        return {"tigmint": files["tigmint"]}
+
+    # --- stage 5: ntLink rounds + gap fill --------------------------------
+    gaps_file = files["ntlink"] + ".gaps.json"
+    if not os.path.exists(files["ntlink"]):
+        def do_ntlink():
+            contigs = _read_fasta(files["tigmint"])
+            reads = _load_reads(reads_file)
+            np_ = ntlink.NtLinkParams(k=cfg.k_ntLink, w=cfg.w_ntLink,
+                                      z=cfg.z, a=1, rounds=cfg.rounds,
+                                      soft_mask=cfg.soft_mask)
+            scaffolds = ntlink.run_ntlink(contigs, reads, np_)
+            with _atomic_stage(files["ntlink"]) as tmp:
+                fastq.write_fasta(tmp, [(s.name, s.seq) for s in scaffolds])
+            with open(gaps_file, "w") as f:
+                json.dump({s.name: s.filled for s in scaffolds}, f)
+        stage_time("ntLink", do_ntlink)
+    if stop <= order.index("ntlink"):
+        return {"ntlink": files["ntlink"]}
+
+    # --- stage 6: targeted polish (GoldPolish-Target equivalent) ----------
+    if not os.path.exists(files["final"]):
+        def do_target():
+            entries = _read_fasta(files["ntlink"])
+            gaps = {}
+            if os.path.exists(gaps_file):
+                gaps = json.load(open(gaps_file))
+            scaffolds = [ntlink.Scaffold(name=n, seq=s,
+                                         filled=[tuple(x) for x in
+                                                 gaps.get(n, [])])
+                         for n, s in entries]
+            reads = _load_reads(reads_file)
+            tp = targeted.TargetParams(flank=cfg.target_flank_length)
+            out, edits = targeted.polish_targets(scaffolds, reads, tp)
+            with _atomic_stage(files["final"]) as tmp:
+                fastq.write_fasta(tmp, out)
+            _log(f"[goldrush-tpu] targeted polish edits: {edits}")
+        stage_time("targeted polish", do_target)
+
+    lengths = [len(s) for _, s in _read_fasta(files["final"])]
+    st = assembly_stats(lengths)
+    _log(f"[goldrush-tpu] final assembly: {st} "
+         f"({time.time() - t_start:.1f}s total)")
+    return {"final": files["final"], "stats": st}

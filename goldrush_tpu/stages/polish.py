@@ -1,0 +1,234 @@
+"""GoldPolish equivalent: alignment-free k-mer polishing of goldtigs.
+
+The reference invokes the external bcgsc/goldpolish (ntEdit/Sealer-style
+under the hood) via ``goldpolish --minimap2 -m /dev/shm`` (bin/goldrush:
+266-268).  TPU-native reformulation:
+
+ 1. all read k-mers are hashed on device and scatter-counted into a flat
+    table; "solid" k-mers (count >= solid_min) are the evidence set;
+ 2. every contig k-mer is presence-checked in one batched device query;
+    absent runs localize candidate error bases (a lone error base b makes
+    exactly the k-mers [b-k+1, b] absent);
+ 3. each error site generates 8 candidate edits (3 substitutions, 4
+    insertions, 1 deletion); every candidate's edited window is re-hashed
+    and scored in one big device batch — sites are processed in parallel,
+    not by a sequential walk, because sites >= k apart are independent;
+ 4. winning edits are applied right-to-left; clustered sites resolve over
+    multiple rounds.
+
+This is the polishing analog of the survey's "batched, not sequential"
+design rule (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import fastq
+from ..mibf.mibf import fastrange
+from ..ops.nthash import build_seed_family, hash_positions
+from ..ops import nthash_np
+
+BASES = b"ACGT"
+
+
+@dataclass
+class PolishParams:
+    k: int = 24
+    solid_min: int = 2
+    rounds: int = 3
+    occupancy_factor: int = 8   # table slots per expected distinct k-mer
+    min_score: float = 0.55     # fraction of edited-window k-mers solid
+    batch: int = 64
+
+
+class KmerTable:
+    """Flat count table of canonical k-mer hashes (device scatter-add)."""
+
+    def __init__(self, expected_kmers: int, factor: int):
+        self.size = max(1 << 16, int(expected_kmers * factor)) | 1
+        self.counts = jnp.zeros(self.size + 1, dtype=jnp.uint32)
+
+    def add_batch(self, codes: np.ndarray, lengths: np.ndarray, k: int):
+        fam = build_seed_family(["1" * k])
+        P = codes.shape[1] - k + 1
+        h = hash_positions(codes, fam, P)[:, 0, :]
+        valid = (np.arange(P)[None, :] <
+                 (lengths - k + 1)[:, None])
+        slots = jnp.where(jnp.asarray(valid), fastrange(h, self.size),
+                          jnp.uint64(self.size)).astype(jnp.int64)
+        self.counts = self.counts.at[slots.reshape(-1)].add(
+            jnp.uint32(1), mode="drop")
+
+    def query_hashes(self, h: jax.Array) -> jax.Array:
+        slots = fastrange(h, self.size).astype(jnp.int64)
+        return self.counts[slots]
+
+
+def _hash_windows(windows: np.ndarray, lengths: np.ndarray, k: int):
+    fam = build_seed_family(["1" * k])
+    P = windows.shape[1] - k + 1
+    h = hash_positions(windows, fam, P)[:, 0, :]
+    valid = np.arange(P)[None, :] < (lengths - k + 1)[:, None]
+    return h, valid
+
+
+def build_read_table(reads: list[bytes], p: PolishParams) -> KmerTable:
+    total = sum(len(r) for r in reads)
+    table = KmerTable(total, p.occupancy_factor)
+    order = sorted(range(len(reads)), key=lambda i: len(reads[i]))
+    i = 0
+    while i < len(order):
+        grp = order[i: i + p.batch]
+        i += p.batch
+        L = max(max(len(reads[j]) for j in grp), p.k + 1)
+        codes = np.zeros((len(grp), L), dtype=np.uint8)
+        lens = np.zeros(len(grp), dtype=np.int64)
+        for row, j in enumerate(grp):
+            c = fastq.encode(reads[j])
+            c = np.where(c > 3, 0, c)
+            codes[row, : len(c)] = c
+            lens[row] = len(c)
+        table.add_batch(codes, lens, p.k)
+    return table
+
+
+def _contig_solidity(table: KmerTable, codes: np.ndarray, p: PolishParams
+                     ) -> np.ndarray:
+    """bool[P] solid flags of one contig's k-mers (single query batch)."""
+    n = len(codes) - p.k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=bool)
+    fam = build_seed_family(["1" * p.k])
+    h = hash_positions(codes[None, :], fam, n)[0, 0, :]
+    cnt = np.asarray(table.query_hashes(h))
+    return cnt >= p.solid_min
+
+
+def _candidate_edits(seq: np.ndarray, b: int, k: int):
+    """8 edited windows around error base b: list of (tag, window_codes).
+    Window spans [b-k+1, b+k) of the edited sequence, so every k-mer touching
+    base b is covered."""
+    lo = max(b - k + 1, 0)
+    hi = min(b + k, len(seq))
+    left, mid, right = seq[lo:b], seq[b:b + 1], seq[b + 1:hi]
+    out = []
+    cur = int(mid[0]) if len(mid) else 0
+    for alt in range(4):
+        if alt != cur:
+            out.append((("sub", alt),
+                        np.concatenate([left, [alt], right])))
+    out.append((("del", 0), np.concatenate([left, right])))
+    for ins in range(4):
+        # insert before b (contig missing a base ending the absent run) and
+        # after b (run end localizes the junction one base earlier for
+        # deletion-type errors)
+        out.append((("ins", ins),
+                    np.concatenate([left, [ins], mid, right])))
+        out.append((("ins2", ins),
+                    np.concatenate([left, mid, [ins], right])))
+    return out
+
+
+def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
+                  ) -> tuple[bytes, int]:
+    """Polish one contig; returns (new_seq, n_edits)."""
+    arr = fastq.encode(seq)
+    arr = np.where(arr > 3, 0, arr).astype(np.uint8)
+    total_edits = 0
+    for _ in range(p.rounds):
+        solid = _contig_solidity(table, arr, p)
+        n = len(solid)
+        if n == 0 or solid.all():
+            break
+        absent = ~solid
+        # error sites: last index of each absent run (b = run_end), spaced
+        # >= k apart so their candidate windows don't interact
+        d = np.diff(absent.astype(np.int8))
+        # absent runs separated by < k chance-solid k-mers belong to one
+        # error region; the region's end localizes the bad base (a bad base
+        # b makes exactly k-mers [b-k+1, b] absent); a region reaching the
+        # final k-mer only bounds the bad base below
+        r_starts = list(np.nonzero(d == 1)[0] + 1)
+        r_ends = list(np.nonzero(d == -1)[0])
+        if absent[0]:
+            r_starts = [0] + r_starts
+        if absent[-1]:
+            r_ends = r_ends + [n - 1]
+        cand_b = []
+        for s_, e_ in zip(r_starts, r_ends):
+            if cand_b and s_ - cand_b[-1] < p.k:
+                cand_b[-1] = e_        # merge into previous region
+            else:
+                cand_b.append(e_)
+        if cand_b and cand_b[-1] == n - 1:
+            cand_b[-1] = min(n - 1 + p.k - 1, len(arr) - 1)
+        sites = []
+        last = -10 ** 9
+        for b in cand_b:
+            b = min(int(b), len(arr) - 1)
+            if b - last >= p.k:
+                sites.append(b)
+                last = b
+        if not sites:
+            break
+        # batch-score all candidates of all sites
+        cands = []           # (site_idx, tag, window, n_kmers)
+        for si, b in enumerate(sites):
+            for tag, win in _candidate_edits(arr, b, p.k):
+                cands.append((si, b, tag, win))
+        W = max(len(c[3]) for c in cands)
+        wins = np.zeros((len(cands), max(W, p.k + 1)), dtype=np.uint8)
+        lens = np.zeros(len(cands), dtype=np.int64)
+        for i, (_, _, _, win) in enumerate(cands):
+            wins[i, : len(win)] = win
+            lens[i] = len(win)
+        h, valid = _hash_windows(wins, lens, p.k)
+        cnt = np.asarray(table.query_hashes(h))
+        solid_w = (cnt >= p.solid_min) & valid
+        scores = solid_w.sum(1) / np.maximum(valid.sum(1), 1)
+        # pick best candidate per site
+        best: dict[int, tuple[float, int, tuple]] = {}
+        for i, (si, b, tag, _) in enumerate(cands):
+            s = float(scores[i])
+            if si not in best or s > best[si][0]:
+                best[si] = (s, b, tag)
+        # apply accepted edits right-to-left
+        edits = sorted((v for v in best.values() if v[0] >= p.min_score),
+                       key=lambda v: -v[1])
+        if not edits:
+            break
+        pieces = arr.copy()
+        for score, b, (kind, alt) in edits:
+            if kind == "sub":
+                pieces[b] = alt
+            elif kind == "del":
+                pieces = np.concatenate([pieces[:b], pieces[b + 1:]])
+            elif kind == "ins":
+                pieces = np.concatenate([pieces[:b],
+                                         np.array([alt], np.uint8),
+                                         pieces[b:]])
+            else:  # ins2: insert after b
+                pieces = np.concatenate([pieces[:b + 1],
+                                         np.array([alt], np.uint8),
+                                         pieces[b + 1:]])
+            total_edits += 1
+        arr = pieces
+    return np.frombuffer(BASES, np.uint8)[arr].tobytes(), total_edits
+
+
+def run_polish(contigs: list[tuple[str, bytes]], reads: list[bytes],
+               p: PolishParams | None = None) -> tuple[list[tuple[str, bytes]], int]:
+    p = p or PolishParams()
+    table = build_read_table(reads, p)
+    out = []
+    edits = 0
+    for name, seq in contigs:
+        ns, ne = polish_contig(seq, table, p)
+        out.append((name, ns))
+        edits += ne
+    return out, edits
