@@ -328,3 +328,22 @@ def reset_ids(state: MibfState) -> MibfState:
     keep presence bits."""
     return MibfState(words=state.words & PRESENT_BIT,
                      counts=jnp.zeros_like(state.counts))
+
+
+def save_state(state: MibfState, params: MibfParams, path: str) -> None:
+    """Persist the filter (parity feature for MIBloomFilter::store,
+    MIBloomFilter.hpp:123-160 — which the reference has no load for; here
+    both directions work, giving mid-pipeline checkpoint/resume)."""
+    np.savez_compressed(
+        path, words=np.asarray(state.words), counts=np.asarray(state.counts),
+        size=params.size, h=params.h, k=params.k,
+        spans=np.asarray(params.spans), tile_length=params.tile_length)
+
+
+def load_state(path: str) -> tuple[MibfState, dict]:
+    z = np.load(path)
+    state = MibfState(words=jnp.asarray(z["words"]),
+                      counts=jnp.asarray(z["counts"]))
+    meta = {k: (int(z[k]) if z[k].ndim == 0 else tuple(int(x) for x in z[k]))
+            for k in ("size", "h", "k", "spans", "tile_length")}
+    return state, meta

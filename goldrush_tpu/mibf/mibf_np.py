@@ -47,11 +47,18 @@ def fastrange64(h: np.ndarray, size: int) -> np.ndarray:
 
 
 class MibfOracle:
-    def __init__(self, size: int):
+    def __init__(self, size: int, key_mode: str = "slot"):
         self.size = size
         # slot `size` is the sentinel for padded probes
         self.words = np.zeros(size + 1, dtype=np.uint32)
         self.counts = np.zeros(size + 1, dtype=np.uint32)
+        # reservoir accept keying: "slot" (direct mode) or "rank" (the
+        # reference / compressed mode, MIBFConstructSupport.hpp:275)
+        self.key_mode = key_mode
+
+    def rank(self, slot: int) -> int:
+        """# of present slots strictly below `slot` (frozen-presence rank)."""
+        return int(((self.words[:slot] & PRESENT_BIT) != 0).sum())
 
     # --- construction pass 1 ---
     def fill_presence(self, hashes: np.ndarray) -> None:
@@ -108,7 +115,8 @@ class MibfOracle:
         for slot in slots:
             self.counts[slot] += 1
             count = int(self.counts[slot])
-            rand = (int(slot) ^ int(block_id)) & 0xFFFFFFFF
+            key = int(slot) if self.key_mode == "slot" else self.rank(slot)
+            rand = (key ^ int(block_id)) & 0xFFFFFFFF
             if rand % count == count - 1:
                 old = self.words[slot]
                 self.words[slot] = np.uint32(

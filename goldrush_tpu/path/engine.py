@@ -63,6 +63,7 @@ class EngineStats:
     vote_overflow: int = 0
     recruits: int = 0
     paths_completed: int = 0
+    inserted_bases_in_path: int = 0
     wall_fill_s: float = 0.0
     wall_assign_s: float = 0.0
 
@@ -83,7 +84,16 @@ class GoldenPathEngine:
         self.seeds = make_seed_pattern(cfg.seed_preset, cfg.kmer_size,
                                        cfg.weight, cfg.hash_num)
         self.fam = build_seed_family(self.seeds)
-        self.universe = cfg.derived_hash_universe()
+        if cfg.ntcard and not cfg.hash_universe:
+            # --ntcard: size the universe from a streaming F0 estimate
+            # (goldrush_path.cpp:1110-1112); rbits=22 keeps the counter
+            # banks at 33 MB (reference: 27 / 1 GB) with ample accuracy for
+            # <= few-Gbp inputs
+            from ..utils.ntcard import NtCardParams, estimate_genome_size
+            self.universe = estimate_genome_size(
+                cfg.input, self.seeds, NtCardParams(rbits=22, sbits=7))
+        else:
+            self.universe = cfg.derived_hash_universe()
         self.size = calc_optimal_size(self.universe, 1, cfg.occupancy)
         S = cfg.frame_stride
         if cfg.tile_length % S:
@@ -98,6 +108,8 @@ class GoldenPathEngine:
         # insertion is always full-resolution regardless of the query stride
         self.params_full = dataclasses.replace(
             self.params, frame_stride=1, vote_min=2, threshold=cfg.threshold)
+        self.compressed = cfg.mibf_mode == "compressed"
+        self.cstate = None        # CompressedState after freeze
         self.state = dm.init_state(self.params)
         self.filter_out: set[str] = set()
         self.phred_min = cfg.phred_min
@@ -140,10 +152,22 @@ class GoldenPathEngine:
 
     # ------------------------------------------------------------------
     def fill(self, path: str) -> None:
-        """Pass 1: presence fill over all gate-passing reads."""
+        """Pass 1: presence fill over all gate-passing reads.
+
+        Direct mode scatters the presence bit into the slot words; compressed
+        mode fills a transient byte array which freeze() packs into the
+        rank-compressed structure (the reference's setup() analog)."""
         t0 = time.time()
         st = self.stats
-        words = self.state.words
+        if self.compressed:
+            from ..mibf import compressed as cz
+            presence = jnp.zeros(self.params.size + 1, dtype=jnp.uint8)
+            fill_fn = jax.jit(cz.fill_bytes, static_argnames=("size",),
+                              donate_argnums=(0,))
+            words = presence
+        else:
+            fill_fn = self._fill_fn
+            words = self.state.words
         spans = self.params.spans
         for block in fastq.read_blocks(path):
             st.num_reads += len(block)
@@ -191,12 +215,17 @@ class GoldenPathEngine:
                     for s, span in enumerate(spans):
                         valid[j, s, : max(len(c) - span + 1, 0)] = True
                 hashes = hash_positions(codes, self.fam, P)
-                words = self._fill_fn(words, hashes, jnp.asarray(valid),
-                                      self.params.size)
+                words = fill_fn(words, hashes, jnp.asarray(valid),
+                                self.params.size)
         if st.num_passed_reads == 0:
             raise RuntimeError(
                 "no reads passed the Phred score and min length requirements")
-        self.state = dm.MibfState(words=words, counts=self.state.counts)
+        if self.compressed:
+            from ..mibf import compressed as cz
+            self.cstate = cz.freeze(np.asarray(words), self.params.size)
+            del words
+        else:
+            self.state = dm.MibfState(words=words, counts=self.state.counts)
         st.wall_fill_s += time.time() - t0
 
     # ------------------------------------------------------------------
@@ -214,8 +243,13 @@ class GoldenPathEngine:
         hashes = hash_positions(codes, self.fam, P)
         slots, frame_ok = dm.tile_slot_grid(
             hashes, jnp.asarray(lengths), self.params, T)
-        votes = dm.probe_and_vote(self.state.words, slots, frame_ok,
-                                  self.params, num_tiles=T)
+        if self.compressed:
+            from ..mibf import compressed as cz
+            votes = cz.probe_and_vote(self.cstate, slots, frame_ok,
+                                      self.params, num_tiles=T)
+        else:
+            votes = dm.probe_and_vote(self.state.words, slots, frame_ok,
+                                      self.params, num_tiles=T)
         res = classify_batch(
             votes.curr_id, votes.top_count, votes.cand_ids, votes.cand_counts,
             jnp.asarray(lengths // self.params.tile_length, dtype=jnp.int32),
@@ -235,12 +269,21 @@ class GoldenPathEngine:
         key = T
         if key not in self._insert_fn:
             max_blocks = -(-T // self.params.block_size) + 1
-            self._insert_fn[key] = lambda st, s, lo, hi, bid, tr: \
-                dm.insert_read(st, s, lo, hi, bid, tr, self.params_full,
-                               max_blocks=max_blocks, num_tiles=T)
-        self.state = self._insert_fn[key](
-            self.state, slots_row, jnp.int32(tile_lo), jnp.int32(tile_hi),
-            jnp.uint32(base_id), jnp.asarray(bool(trimmed)))
+            if self.compressed:
+                from ..mibf import compressed as cz
+                self._insert_fn[key] = lambda st, s, lo, hi, bid, tr: \
+                    cz.insert_read(st, s, lo, hi, bid, tr, self.params_full,
+                                   max_blocks=max_blocks, num_tiles=T)
+            else:
+                self._insert_fn[key] = lambda st, s, lo, hi, bid, tr: \
+                    dm.insert_read(st, s, lo, hi, bid, tr, self.params_full,
+                                   max_blocks=max_blocks, num_tiles=T)
+        args = (slots_row, jnp.int32(tile_lo), jnp.int32(tile_hi),
+                jnp.uint32(base_id), jnp.asarray(bool(trimmed)))
+        if self.compressed:
+            self.cstate = self._insert_fn[key](self.cstate, *args)
+        else:
+            self.state = self._insert_fn[key](self.state, *args)
 
     # ------------------------------------------------------------------
     def assign(self, path: str) -> None:
@@ -320,6 +363,7 @@ class GoldenPathEngine:
                     ids_inserted += len(r.seq) // (TL * cfg.block_size)
                     self.writers[-1].write(r.id, "_untrimmed", r.seq, r.qual)
                     inserted_bases += len(r.seq)
+                    st.inserted_bases_in_path += len(r.seq)
                     st.reads_in_path += 1
                     st.recruits += 1
                     if r.qual is not None:
@@ -339,6 +383,7 @@ class GoldenPathEngine:
                         qual = r.qual[ts * TL:end] if r.qual else None
                     self.writers[-1].write(r.id, "_trimmed", seq, qual)
                     inserted_bases += len(seq)
+                    st.inserted_bases_in_path += len(seq)
                     st.reads_in_path += 1
                     st.recruits += 1
                     if qual is not None:
@@ -358,8 +403,13 @@ class GoldenPathEngine:
                         break
                     inserted_bases = 0
                     st.reads_in_path = 0
+                    st.inserted_bases_in_path = 0
                     st.phred_sum_in_path = 0.0
-                    self.state = dm.reset_ids(self.state)
+                    if self.compressed:
+                        from ..mibf import compressed as cz
+                        self.cstate = cz.reset_ids(self.cstate)
+                    else:
+                        self.state = dm.reset_ids(self.state)
                     ids_inserted = 0
                     self.writers[-1].close()
                     self._open_writer(curr_path)
@@ -385,11 +435,22 @@ class GoldenPathEngine:
 
     # ------------------------------------------------------------------
     def run(self, input_path: str | None = None) -> EngineStats:
+        from ..utils import observability as obs
         path = input_path or self.cfg.input
         fmt = fastq.detect_format(path)
         if fmt != "fastq":
             raise RuntimeError("Gold Path requires fastq format")
         self.calc_phred_threshold(path)
-        self.fill(path)
-        self.assign(path)
+        if self.cfg.verbose:
+            obs.log_engine_header(self.cfg, self.seeds, self.universe,
+                                  self.phred_min)
+        with obs.phase_timer("inserting bit vector", self.cfg.verbose):
+            self.fill(path)
+        if self.cfg.verbose:
+            obs.log_filter_breakdown(self.stats)
+        with obs.phase_timer("assigned", self.cfg.verbose):
+            self.assign(path)
+        if self.cfg.verbose:
+            obs.log_path_stat(max(self.stats.paths_completed, 1), self.stats,
+                              max(self.stats.inserted_bases_in_path, 1))
         return self.stats
