@@ -161,6 +161,76 @@ def tile_slot_grid(hashes: jax.Array, lengths: jax.Array,
     return slots, frame_ok
 
 
+def clamp_tile_geometry(lengths: jax.Array, params: MibfParams,
+                        num_tiles_max: int):
+    """Shared [B, T] tile geometry: (frames_t, in_read, clamp frame pos per
+    seed [B, h, T])."""
+    TL, k = params.tile_length, params.k
+    T = num_tiles_max
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]               # [1,T]
+    L = lengths.astype(jnp.int32)[:, None]                        # [B,1]
+    tile_len = jnp.minimum(TL + k - 1, L - t_idx * TL)            # [B,T]
+    num_tiles = L // TL
+    frames_t = tile_len - k + 1                                   # [B,T]
+    in_read = t_idx < num_tiles
+    clamp = []
+    for s in range(params.h):
+        F_ts = frames_t - (params.spans[s] - k)
+        clamp.append(jnp.clip(t_idx * TL + F_ts - 1, 0, None))
+    return frames_t, in_read, jnp.stack(clamp, axis=1)            # [B,h,T]
+
+
+@partial(jax.jit, static_argnames=("params", "num_tiles_max"))
+def tile_slot_grid_sampled(h_strided: jax.Array, h_clamp: jax.Array,
+                           lengths: jax.Array, params: MibfParams,
+                           num_tiles_max: int
+                           ) -> tuple[jax.Array, jax.Array]:
+    """Sampled-query twin of tile_slot_grid fed by strided hashes.
+
+    h_strided: uint64 [B, h, >= T*F] hashes at global positions 0, S, 2S, ...
+    (hash_positions(..., stride=S)); h_clamp: uint64 [B, h, T] hashes at the
+    per-tile clamp positions from clamp_tile_geometry (hash_at).  Produces
+    bit-identical (slots, frame_ok) to tile_slot_grid on dense hashes, with
+    the hashing work reduced ~S-fold upstream.
+    """
+    TL, k, S = params.tile_length, params.k, params.frame_stride
+    B = h_strided.shape[0]
+    T, F, H = num_tiles_max, TL // S, params.h
+    sentinel = jnp.asarray(params.size, dtype=params.idx_dtype)
+    f_idx = jnp.arange(F, dtype=jnp.int32)[None, None, :] * S     # [1,1,F]
+    frames_t, in_read, _ = clamp_tile_geometry(lengths, params, T)
+    frame_ok = (in_read[:, :, None]
+                & (f_idx < frames_t[:, :, None])).reshape(B, T * F)
+    spos = fastrange(h_strided[:, :, : T * F], params.size
+                     ).astype(params.idx_dtype)                   # [B,H,TF]
+    cvals = fastrange(h_clamp, params.size).astype(params.idx_dtype)
+    slot_list = []
+    for s in range(H):
+        F_ts = frames_t - (params.spans[s] - k)                   # [B,T]
+        fix = (f_idx >= jnp.maximum(F_ts, 0)[:, :, None]).reshape(B, T * F)
+        vals_exp = jnp.broadcast_to(cvals[:, s, :, None],
+                                    (B, T, F)).reshape(B, T * F)
+        arr = jnp.where(fix, vals_exp, spos[:, s, :])
+        slot_list.append(jnp.where(frame_ok, arr, sentinel))
+    return jnp.stack(slot_list, axis=1), frame_ok
+
+
+def build_slot_grid(codes: jax.Array, lengths: jax.Array, fam,
+                    params: MibfParams, num_tiles_max: int
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Front-end: codes -> (slots, frame_ok) probe grid, picking the dense or
+    sampled hash path by params.frame_stride."""
+    from ..ops.nthash import hash_at, hash_positions
+    P = num_tiles_max * params.tile_length
+    if params.frame_stride == 1:
+        hashes = hash_positions(codes, fam, P)
+        return tile_slot_grid(hashes, lengths, params, num_tiles_max)
+    hs = hash_positions(codes, fam, P, stride=params.frame_stride)
+    _, _, clamp_pos = clamp_tile_geometry(lengths, params, num_tiles_max)
+    hc = hash_at(codes, fam, clamp_pos)
+    return tile_slot_grid_sampled(hs, hc, lengths, params, num_tiles_max)
+
+
 # ---------------------------------------------------------------------------
 # probe + vote
 # ---------------------------------------------------------------------------

@@ -127,9 +127,9 @@ def _min64_pair(ah, al, bh, bl):
     return jnp.where(a_lt, ah, bh), jnp.where(a_lt, al, bl)
 
 
-@partial(jax.jit, static_argnames=("fam", "num_frames"))
-def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
-                   ) -> jax.Array:
+@partial(jax.jit, static_argnames=("fam", "num_frames", "stride"))
+def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int,
+                   stride: int = 1) -> jax.Array:
     """Canonical hashes for every position of a padded batch of sequences.
 
     codes: uint8/int32 [B, L] base codes 0..3 (padding may be any value in
@@ -137,6 +137,12 @@ def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
     where entry [b, s, p] is the canonical spaced-seed hash of
     codes[b, p : p+span_s].  Frames past a read's valid range contain garbage
     the caller must mask/clamp (see mibf.query).
+
+    With stride S > 1 only positions 0, S, 2S, ... are computed (returns
+    [B, h, num_frames // S]) — the sampled-query fast path: the correlation
+    and rotation work drops by ~S while staying bit-identical to the dense
+    hashes at those positions.  Use hash_at for the data-dependent per-tile
+    clamp positions the sampled grid also needs.
 
     Internals run on explicit (hi, lo) uint32 pairs — u64 exists only at the
     table-gather and final assembly, sidestepping XLA's slow emulated u64
@@ -185,6 +191,40 @@ def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
         return ah, al
 
     P = num_frames
+    if stride > 1:
+        if P % stride:
+            raise ValueError("num_frames must be a multiple of stride")
+        Q = P // stride
+
+        def corr_s(hi, lo, offsets, base):
+            # out[q] = XOR_c x[base + q*stride + c]; base/c static -> static
+            # strided slices
+            ah = jnp.zeros((B, Q), dtype=jnp.uint32)
+            al = jnp.zeros((B, Q), dtype=jnp.uint32)
+            for c in offsets:
+                s0 = base + c
+                end = s0 + (Q - 1) * stride + 1
+                ah = ah ^ hi[:, s0:end:stride]
+                al = al ^ lo[:, s0:end:stride]
+            return ah, al
+
+        q_pos = jnp.arange(Q, dtype=jnp.int32) * stride
+        vlh, vll = corr_s(uf_hi, uf_lo, fam.care_left, 0)
+        wlh, wll = corr_s(ur_hi, ur_lo, fam.care_left, 0)
+        outs = []
+        for s in range(fam.h):
+            off = fam.half + s
+            vrh, vrl = corr_s(uf_hi, uf_lo, fam.care_right, off)
+            wrh, wrl = corr_s(ur_hi, ur_lo, fam.care_right, off)
+            fh, fl = _rol64_pair(vlh ^ vrh, vll ^ vrl,
+                                 (fam.spans[s] - 1 + q_pos) % 64)
+            rh, rl = _rol64_pair(wlh ^ wrh, wll ^ wrl,
+                                 (64 - q_pos % 64) % 64)
+            mh, ml = _min64_pair(fh, fl, rh, rl)
+            outs.append((mh.astype(jnp.uint64) << jnp.uint64(32))
+                        | ml.astype(jnp.uint64))
+        return jnp.stack(outs, axis=1)    # [B, h, Q]
+
     span_extra = fam.half + (fam.h - 1)   # widest right-half start offset
     vlh, vll = corr(uf_hi, uf_lo, fam.care_left, P)
     vrh, vrl = corr(uf_hi, uf_lo, fam.care_right, P + span_extra)
@@ -205,3 +245,67 @@ def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int
         outs.append((mh.astype(jnp.uint64) << jnp.uint64(32))
                     | ml.astype(jnp.uint64))
     return jnp.stack(outs, axis=1)    # [B, h, P]
+
+
+@partial(jax.jit, static_argnames=("fam",))
+def hash_at(codes: jax.Array, fam: SeedFamily, pos: jax.Array) -> jax.Array:
+    """Canonical hashes at arbitrary per-seed positions.
+
+    codes: [B, L] base codes; pos: int32 [B, h, N] frame positions (seed s
+    row holds positions for seed s).  Returns uint64 [B, h, N], bit-identical
+    to hash_positions(...)[b, s, pos[b, s, n]].  Point-gather evaluation —
+    meant for small N (e.g. the per-tile clamp frames of the sampled grid).
+    """
+    B, L = codes.shape
+    codes = jnp.pad(codes, ((0, 0), (0, fam.pad_needed)))
+    Lp = L + fam.pad_needed
+    codes = codes.astype(jnp.int32)
+    pos_np = np.arange(Lp)
+    rowf = jnp.asarray(fam.rot_f.reshape(64, 4).T[:, pos_np % 64])
+    rowr = jnp.asarray(fam.rot_r.reshape(64, 4).T[:, pos_np % 64])
+
+    def split(x):
+        return (x >> jnp.uint64(32)).astype(jnp.uint32), \
+               (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    b0 = (codes & 1) == 1
+    b1 = (codes & 2) == 2
+
+    def sel(rows):
+        hi_rows, lo_rows = split(rows)
+        lo = jnp.where(b1, jnp.where(b0, lo_rows[3], lo_rows[2]),
+                       jnp.where(b0, lo_rows[1], lo_rows[0]))
+        hi = jnp.where(b1, jnp.where(b0, hi_rows[3], hi_rows[2]),
+                       jnp.where(b0, hi_rows[1], hi_rows[0]))
+        return hi, lo
+
+    uf_hi, uf_lo = sel(rowf)
+    ur_hi, ur_lo = sel(rowr)
+
+    _, h, N = pos.shape
+    assert h == fam.h
+    pos = jnp.clip(pos, 0, L - 1).astype(jnp.int32)
+    flat = pos.reshape(B, h * N)
+    # per-seed right-half start offset folded into the gather index
+    s_off = jnp.repeat(jnp.arange(fam.h, dtype=jnp.int32) + fam.half, N)
+
+    def corr_at(hi, lo, offsets, base):
+        ah = jnp.zeros((B, h * N), dtype=jnp.uint32)
+        al = jnp.zeros((B, h * N), dtype=jnp.uint32)
+        for c in offsets:
+            idx = flat + (base + c)
+            ah = ah ^ jnp.take_along_axis(hi, idx, axis=1)
+            al = al ^ jnp.take_along_axis(lo, idx, axis=1)
+        return ah, al
+
+    zero = jnp.zeros((h * N,), dtype=jnp.int32)
+    vlh, vll = corr_at(uf_hi, uf_lo, fam.care_left, zero)
+    vrh, vrl = corr_at(uf_hi, uf_lo, fam.care_right, s_off)
+    wlh, wll = corr_at(ur_hi, ur_lo, fam.care_left, zero)
+    wrh, wrl = corr_at(ur_hi, ur_lo, fam.care_right, s_off)
+    spans = jnp.repeat(jnp.asarray(fam.spans, dtype=jnp.int32), N)
+    fh, fl = _rol64_pair(vlh ^ vrh, vll ^ vrl, (spans - 1 + flat) % 64)
+    rh, rl = _rol64_pair(wlh ^ wrh, wll ^ wrl, (64 - flat % 64) % 64)
+    mh, ml = _min64_pair(fh, fl, rh, rl)
+    out = (mh.astype(jnp.uint64) << jnp.uint64(32)) | ml.astype(jnp.uint64)
+    return out.reshape(B, h, N)

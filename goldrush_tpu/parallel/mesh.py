@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..mibf import mibf as dm
-from ..ops.nthash import SeedFamily, hash_positions
+from ..ops.nthash import SeedFamily
 from ..path.classify import classify_batch
 
 
@@ -63,10 +63,8 @@ def classify_step(words, codes, lengths, fam: SeedFamily,
                   threshold: int, unassigned_min: int, assigned_max: int):
     """One fused classification step: hash -> slot grid -> probe/vote ->
     smoothing/decision.  The flagship compute path."""
-    P_frames = num_tiles_max * params.tile_length
-    hashes = hash_positions(codes, fam, P_frames)
-    slots, frame_ok = dm.tile_slot_grid(hashes, lengths, params,
-                                        num_tiles_max)
+    slots, frame_ok = dm.build_slot_grid(codes, lengths, fam, params,
+                                         num_tiles_max)
     votes = dm.probe_and_vote(words, slots, frame_ok, params,
                               num_tiles=num_tiles_max)
     res = classify_batch(votes.curr_id, votes.top_count, votes.cand_ids,

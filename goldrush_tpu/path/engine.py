@@ -239,10 +239,9 @@ class GoldenPathEngine:
 
     def _classify(self, codes, lengths, T):
         """hash -> grid -> vote -> classify for a padded [B] batch."""
-        P = T * self.params.tile_length
-        hashes = hash_positions(codes, self.fam, P)
-        slots, frame_ok = dm.tile_slot_grid(
-            hashes, jnp.asarray(lengths), self.params, T)
+        slots, frame_ok = dm.build_slot_grid(
+            codes, jnp.asarray(lengths, dtype=jnp.int32), self.fam,
+            self.params, T)
         if self.compressed:
             from ..mibf import compressed as cz
             votes = cz.probe_and_vote(self.cstate, slots, frame_ok,
