@@ -5,6 +5,11 @@ hashing -> miBF probe -> per-tile vote -> smoothing/decision — for 30 kb
 reads against an HBM-resident filter sized for a 50 Mbp genome at default
 parameters (realistic random-gather pressure).  Prints ONE JSON line.
 
+Timing methodology: every step folds its outputs into a carried scalar that
+is fetched to host after the timed loop, so the wall window provably
+contains all device work (block_until_ready does not await completion on
+remote-tunnel devices); min-of-3 runs rejects host-side scheduling noise.
+
 Baseline: the reference runs the full pipeline on 67x human ONT
 (~6.7M reads) in 16.6 h on 48 Xeon threads (README.md:117-121); attributing
 one third of the wall clock to the two goldrush-path passes gives
@@ -13,6 +18,7 @@ measured reads/s divided by that estimate.
 """
 
 import json
+import math
 import time
 
 import numpy as np
@@ -33,6 +39,7 @@ TILES = 30
 BATCH = 64
 GENOME = 50_000_000
 STRIDE = 8          # production frame stride (see MibfParams.frame_stride)
+PROBE_SEEDS = 1     # production probe-seed count (see MibfParams.probe_seeds)
 
 
 def build_filter(size: int, occupancy: float, n_ids: int, key) -> jax.Array:
@@ -57,62 +64,56 @@ def main():
     seeds = make_seed_pattern("1011011110110111101101", 22, 16, 3)
     fam = build_seed_family(seeds)
     universe = int(min(4 ** 16, 2 * GENOME) * 0.5 * 3)
-    import math
     size = int(-universe / math.log(0.9))
     size += 64 - size % 64
     key = jax.random.PRNGKey(0)
     words = build_filter(size, 0.1, 200_000, key)
     rng = np.random.default_rng(1)
-    n_batches = 4
-    codes = [rng.integers(0, 4, (BATCH, READ_LEN + 1024)).astype(np.uint8)
-             for _ in range(n_batches)]
+    codes = jnp.asarray(
+        rng.integers(0, 4, (BATCH, READ_LEN + 1024)).astype(np.uint8))
     lengths = jnp.full(BATCH, READ_LEN, dtype=jnp.int32)
-    dev_codes = [jnp.asarray(c) for c in codes]
 
-    def measure(stride):
+    def measure(stride, probe_seeds, reps=16, runs=3):
         params = dm.MibfParams(
             size=size, h=3, k=22, spans=(22, 23, 24), tile_length=1000,
             threshold=max(1, 10 // stride), block_size=10, vote_topk=32,
-            frame_stride=stride, vote_min=2 // stride)
+            frame_stride=stride, vote_min=2 // stride,
+            probe_seeds=probe_seeds)
 
         def step(words, c, lengths, acc):
             res, _, votes = classify_step(
                 words, c, lengths, fam, params, TILES,
                 threshold=params.threshold, unassigned_min=5, assigned_max=1)
-            # fold outputs into a carried scalar: every step is on the
-            # dependency chain of the final host fetch, so the timed window
-            # provably contains all device work (block_until_ready alone does
-            # not await completion through the remote-device tunnel)
             return acc + res.decision.astype(jnp.int32).sum() \
-                + res.num_assigned.sum() + votes.queries.sum().astype(
-                    jnp.int32)
+                + res.num_assigned.sum() \
+                + votes.queries.sum().astype(jnp.int32)
 
-        jstep = jax.jit(step, donate_argnums=(3,))
-        acc = jstep(words, dev_codes[0], lengths, jnp.int32(0))
-        float(acc)                      # warm-up: compile + execute + fetch
-        reps = 8
-        acc = jnp.int32(0)
-        t0 = time.time()
-        for r in range(reps):
-            for c in dev_codes:
-                acc = jstep(words, c, lengths, acc)
-        float(acc)                      # host fetch closes the timed window
-        dt = time.time() - t0
-        return reps * n_batches * BATCH / dt, dt
+        jstep = jax.jit(step)
+        acc = jstep(words, codes, lengths, jnp.int32(0))
+        int(acc)                     # warm-up: compile + execute + fetch
+        best = float("inf")
+        for _ in range(runs):
+            acc = jnp.int32(0)
+            t0 = time.time()
+            for _ in range(reps):
+                acc = jstep(words, codes, lengths, acc)
+            int(acc)                 # host fetch closes the timed window
+            best = min(best, (time.time() - t0) / reps)
+        return BATCH / best, best
 
-    parity_rps, _ = measure(1)
-    rps, dt = measure(STRIDE)
+    parity_rps, _ = measure(1, 0, reps=8)
+    rps, dt = measure(STRIDE, PROBE_SEEDS)
     queries_per_s = rps * TILES * ((1000 - 21) // STRIDE)
     result = {
         "metric": "golden_path_classify_reads_per_s",
         "value": round(rps, 2),
         "unit": f"reads/s (30kb reads, 50Mbp-genome miBF, stride {STRIDE}, "
-                "single chip)",
+                f"{PROBE_SEEDS} probed seed, single chip)",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
         "queries_per_s": round(queries_per_s),
         "parity_mode_reads_per_s": round(parity_rps, 2),
         "device": str(jax.devices()[0]),
-        "wall_s": round(dt, 3),
+        "step_ms": round(dt * 1e3, 3),
     }
     print(json.dumps(result))
 

@@ -52,8 +52,8 @@ def parse_args(argv: list[str]) -> tuple[str, PipelineConfig, dict]:
         if "=" not in arg:
             raise SystemExit(f"Parameters are key=value pairs, got: {arg}")
         k, v = arg.split("=", 1)
-        if k == "frame_stride":
-            extra["frame_stride"] = int(v)
+        if k in ("frame_stride", "probe_seeds"):
+            extra[k] = int(v)
             continue
         if k not in fields:
             raise SystemExit(f"Unknown parameter: {k}")
@@ -74,7 +74,7 @@ def print_help() -> None:
     print("Commands:", ", ".join(COMMANDS))
     print("Key parameters: reads=<prefix> G=<genome size> t=<threads> "
           "k w tile b u a o x h s m M r P d span dist cut k_ntLink "
-          "w_ntLink rounds z p frame_stride")
+          "w_ntLink rounds z p frame_stride probe_seeds")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -101,7 +101,8 @@ def main(argv: list[str] | None = None) -> int:
                 cfg = cfg.replace(reads=os.path.basename(cfg.reads))
                 break
     out = run_pipeline(cfg, workdir=workdir, until=until,
-                       frame_stride=extra.get("frame_stride", 1))
+                       frame_stride=extra.get("frame_stride", 1),
+                       probe_seeds=extra.get("probe_seeds", 0))
     if "final" in out:
         final = os.path.join(workdir, out["final"])
         link = os.path.basename(out["final"])

@@ -64,6 +64,10 @@ class PathConfig:
                                     # thresholds scaled by N (1 = exact
                                     # reference semantics; >1 = throughput
                                     # mode, inserts stay full-resolution)
+    probe_seeds: int = 0            # probe only the first N seed patterns per
+                                    # frame (0 = all h; <h = throughput mode —
+                                    # same per-tile vote operating point since
+                                    # same-ID votes dedupe within a frame)
     use_pallas: bool = True         # fused Pallas probe kernel where available
     devices: int = 0                # 0 = all local devices
 

@@ -57,6 +57,16 @@ class MibfParams:
     frame_stride: int = 1
     vote_min: int = 2          # candidate gate "count > vote_min"
                                # (reference: count > 2, goldrush_path.cpp:616)
+    # throughput mode: probe only the first `probe_seeds` seed patterns per
+    # frame (0 = all h).  Within a frame the reference DEDUPES same-ID votes
+    # across seeds (std::set unique_ids, goldrush_path.cpp:570-605), so for
+    # a true matching region the extra seeds contribute ~nothing to the
+    # per-tile count — they exist for the atRank AND-gate strictness and for
+    # error redundancy.  Probing fewer seeds scales the gather count (the
+    # single-chip reads/s ceiling) by probe_seeds/h with the same per-tile
+    # vote operating point; thresholds need no rescaling.  Insertion always
+    # uses all h seeds, so sampled queries still see every recruited region.
+    probe_seeds: int = 0
 
     @property
     def idx_dtype(self):
@@ -215,19 +225,78 @@ def tile_slot_grid_sampled(h_strided: jax.Array, h_clamp: jax.Array,
     return jnp.stack(slot_list, axis=1), frame_ok
 
 
+def clamp_last_tile_positions(lengths: jax.Array, params: MibfParams
+                              ) -> jax.Array:
+    """Clamp frame positions of each read's LAST tile only: int32 [B, h, 1].
+
+    Valid companion to the stride >= h fast path: every non-last in-read
+    tile is full (tile_len == TL+k-1), and a full tile's stale-tail frames
+    [TL-(span_s-k), TL) contain no multiple of the stride when
+    stride > span_s - k for all seeds (i.e. stride >= h)."""
+    TL, k = params.tile_length, params.k
+    L = lengths.astype(jnp.int32)[:, None]                        # [B,1]
+    t = jnp.maximum(L // TL, 1) - 1                               # [B,1]
+    tile_len = jnp.minimum(TL + k - 1, L - t * TL)
+    frames_t = tile_len - k + 1
+    pos = [jnp.clip(t * TL + (frames_t - (params.spans[s] - k)) - 1, 0, None)
+           for s in range(params.h)]
+    return jnp.stack(pos, axis=1)                                 # [B,h,1]
+
+
+@partial(jax.jit, static_argnames=("params", "num_tiles_max"))
+def tile_slot_grid_sampled_lt(h_strided: jax.Array, h_clamp_last: jax.Array,
+                              lengths: jax.Array, params: MibfParams,
+                              num_tiles_max: int
+                              ) -> tuple[jax.Array, jax.Array]:
+    """tile_slot_grid_sampled specialised to stride >= h: clamp fix-ups can
+    only occur in each read's last tile, so h_clamp_last is [B, h, 1]."""
+    TL, k, S = params.tile_length, params.k, params.frame_stride
+    assert S >= params.h
+    B = h_strided.shape[0]
+    T, F, H = num_tiles_max, TL // S, params.h
+    sentinel = jnp.asarray(params.size, dtype=params.idx_dtype)
+    f_idx = jnp.arange(F, dtype=jnp.int32)[None, None, :] * S     # [1,1,F]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]               # [1,T]
+    L = lengths.astype(jnp.int32)[:, None]
+    tile_len = jnp.minimum(TL + k - 1, L - t_idx * TL)
+    num_tiles = L // TL
+    frames_t = tile_len - k + 1                                   # [B,T]
+    in_read = t_idx < num_tiles
+    is_last = t_idx == (num_tiles - 1)                            # [B,T]
+    frame_ok = (in_read[:, :, None]
+                & (f_idx < frames_t[:, :, None])).reshape(B, T * F)
+    spos = fastrange(h_strided[:, :, : T * F], params.size
+                     ).astype(params.idx_dtype)
+    cvals = fastrange(h_clamp_last[:, :, 0], params.size
+                      ).astype(params.idx_dtype)                  # [B,H]
+    slot_list = []
+    for s in range(H):
+        F_ts = frames_t - (params.spans[s] - k)
+        fix = ((f_idx >= jnp.maximum(F_ts, 0)[:, :, None])
+               & is_last[:, :, None]).reshape(B, T * F)
+        arr = jnp.where(fix, cvals[:, s, None], spos[:, s, :])
+        slot_list.append(jnp.where(frame_ok, arr, sentinel))
+    return jnp.stack(slot_list, axis=1), frame_ok
+
+
 def build_slot_grid(codes: jax.Array, lengths: jax.Array, fam,
                     params: MibfParams, num_tiles_max: int
                     ) -> tuple[jax.Array, jax.Array]:
     """Front-end: codes -> (slots, frame_ok) probe grid, picking the dense or
     sampled hash path by params.frame_stride."""
-    from ..ops.nthash import hash_at, hash_positions
+    from ..ops.nthash import hash_positions, hash_sampled
     P = num_tiles_max * params.tile_length
-    if params.frame_stride == 1:
+    S = params.frame_stride
+    if S == 1:
         hashes = hash_positions(codes, fam, P)
         return tile_slot_grid(hashes, lengths, params, num_tiles_max)
-    hs = hash_positions(codes, fam, P, stride=params.frame_stride)
+    if S >= params.h:
+        clamp_pos = clamp_last_tile_positions(lengths, params)
+        hs, hc = hash_sampled(codes, fam, P, S, clamp_pos)
+        return tile_slot_grid_sampled_lt(hs, hc, lengths, params,
+                                         num_tiles_max)
     _, _, clamp_pos = clamp_tile_geometry(lengths, params, num_tiles_max)
-    hc = hash_at(codes, fam, clamp_pos)
+    hs, hc = hash_sampled(codes, fam, P, S, clamp_pos)
     return tile_slot_grid_sampled(hs, hc, lengths, params, num_tiles_max)
 
 
@@ -253,10 +322,11 @@ def probe_and_vote(words: jax.Array, slots: jax.Array, frame_ok: jax.Array,
     """Batched miBF probe + per-tile ID voting (goldrush_path.cpp:544-634).
 
     slots: [B, H, T*F] seed-major probe grid; frame_ok: [B, T*F]."""
-    B, H, TF = slots.shape
+    B, H_all, TF = slots.shape
     T = num_tiles
     F = TF // T
     K = params.vote_topk
+    H = params.probe_seeds or H_all              # seeds actually probed
     ws = [words[slots[:, s, :]] for s in range(H)]       # H gathers [B, TF]
     present = ws[0] & PRESENT_BIT
     for s in range(1, H):

@@ -247,20 +247,11 @@ def hash_positions(codes: jax.Array, fam: SeedFamily, num_frames: int,
     return jnp.stack(outs, axis=1)    # [B, h, P]
 
 
-@partial(jax.jit, static_argnames=("fam",))
-def hash_at(codes: jax.Array, fam: SeedFamily, pos: jax.Array) -> jax.Array:
-    """Canonical hashes at arbitrary per-seed positions.
-
-    codes: [B, L] base codes; pos: int32 [B, h, N] frame positions (seed s
-    row holds positions for seed s).  Returns uint64 [B, h, N], bit-identical
-    to hash_positions(...)[b, s, pos[b, s, n]].  Point-gather evaluation —
-    meant for small N (e.g. the per-tile clamp frames of the sampled grid).
-    """
-    B, L = codes.shape
-    codes = jnp.pad(codes, ((0, 0), (0, fam.pad_needed)))
-    Lp = L + fam.pad_needed
+def _prep_u(codes: jax.Array, fam: SeedFamily):
+    """Per-base rotated constants for both strands as (hi, lo) u32 pairs."""
+    _, L = codes.shape
     codes = codes.astype(jnp.int32)
-    pos_np = np.arange(Lp)
+    pos_np = np.arange(L)
     rowf = jnp.asarray(fam.rot_f.reshape(64, 4).T[:, pos_np % 64])
     rowr = jnp.asarray(fam.rot_r.reshape(64, 4).T[:, pos_np % 64])
 
@@ -279,12 +270,16 @@ def hash_at(codes: jax.Array, fam: SeedFamily, pos: jax.Array) -> jax.Array:
                        jnp.where(b0, hi_rows[1], hi_rows[0]))
         return hi, lo
 
-    uf_hi, uf_lo = sel(rowf)
-    ur_hi, ur_lo = sel(rowr)
+    return sel(rowf) + sel(rowr)    # (uf_hi, uf_lo, ur_hi, ur_lo)
 
+
+def _hash_at_prepped(u, fam: SeedFamily, pos: jax.Array, L_valid: int
+                     ) -> jax.Array:
+    uf_hi, uf_lo, ur_hi, ur_lo = u
+    B = uf_hi.shape[0]
     _, h, N = pos.shape
     assert h == fam.h
-    pos = jnp.clip(pos, 0, L - 1).astype(jnp.int32)
+    pos = jnp.clip(pos, 0, L_valid - 1).astype(jnp.int32)
     flat = pos.reshape(B, h * N)
     # per-seed right-half start offset folded into the gather index
     s_off = jnp.repeat(jnp.arange(fam.h, dtype=jnp.int32) + fam.half, N)
@@ -309,3 +304,70 @@ def hash_at(codes: jax.Array, fam: SeedFamily, pos: jax.Array) -> jax.Array:
     mh, ml = _min64_pair(fh, fl, rh, rl)
     out = (mh.astype(jnp.uint64) << jnp.uint64(32)) | ml.astype(jnp.uint64)
     return out.reshape(B, h, N)
+
+
+@partial(jax.jit, static_argnames=("fam",))
+def hash_at(codes: jax.Array, fam: SeedFamily, pos: jax.Array) -> jax.Array:
+    """Canonical hashes at arbitrary per-seed positions.
+
+    codes: [B, L] base codes; pos: int32 [B, h, N] frame positions (seed s
+    row holds positions for seed s).  Returns uint64 [B, h, N], bit-identical
+    to hash_positions(...)[b, s, pos[b, s, n]].  Point-gather evaluation —
+    meant for small N (e.g. the per-tile clamp frames of the sampled grid).
+    """
+    B, L = codes.shape
+    u = _prep_u(jnp.pad(codes, ((0, 0), (0, fam.pad_needed))), fam)
+    return _hash_at_prepped(u, fam, pos, L)
+
+
+@partial(jax.jit, static_argnames=("fam", "num_frames", "stride"))
+def hash_sampled(codes: jax.Array, fam: SeedFamily, num_frames: int,
+                 stride: int, clamp_pos: jax.Array
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Strided hashes + clamp-point hashes sharing one per-base table pass.
+
+    Equivalent to (hash_positions(codes, fam, num_frames, stride),
+    hash_at(codes, fam, clamp_pos)) but computes the [B, L] per-base rotated
+    constants once — the point evaluation otherwise re-pays the whole-read
+    table pass, which dominates its cost for small N.
+    """
+    B, L = codes.shape
+    if num_frames % stride:
+        raise ValueError("num_frames must be a multiple of stride")
+    need = num_frames + fam.pad_needed
+    if L < need:
+        codes = jnp.pad(codes, ((0, 0), (0, need - L)))
+        L = need
+    u = _prep_u(codes, fam)
+    uf_hi, uf_lo, ur_hi, ur_lo = u
+    Q = num_frames // stride
+
+    def corr_s(hi, lo, offsets, base):
+        ah = jnp.zeros((B, Q), dtype=jnp.uint32)
+        al = jnp.zeros((B, Q), dtype=jnp.uint32)
+        for c in offsets:
+            s0 = base + c
+            end = s0 + (Q - 1) * stride + 1
+            ah = ah ^ hi[:, s0:end:stride]
+            al = al ^ lo[:, s0:end:stride]
+        return ah, al
+
+    q_pos = jnp.arange(Q, dtype=jnp.int32) * stride
+    vlh, vll = corr_s(uf_hi, uf_lo, fam.care_left, 0)
+    wlh, wll = corr_s(ur_hi, ur_lo, fam.care_left, 0)
+    outs = []
+    for s in range(fam.h):
+        off = fam.half + s
+        vrh, vrl = corr_s(uf_hi, uf_lo, fam.care_right, off)
+        wrh, wrl = corr_s(ur_hi, ur_lo, fam.care_right, off)
+        fh, fl = _rol64_pair(vlh ^ vrh, vll ^ vrl,
+                             (fam.spans[s] - 1 + q_pos) % 64)
+        rh, rl = _rol64_pair(wlh ^ wrh, wll ^ wrl,
+                             (64 - q_pos % 64) % 64)
+        mh, ml = _min64_pair(fh, fl, rh, rl)
+        outs.append((mh.astype(jnp.uint64) << jnp.uint64(32))
+                    | ml.astype(jnp.uint64))
+    h_strided = jnp.stack(outs, axis=1)
+    h_clamp = _hash_at_prepped(u, fam, clamp_pos,
+                               L - fam.pad_needed)
+    return h_strided, h_clamp

@@ -104,10 +104,12 @@ class GoldenPathEngine:
             spans=tuple(len(s) for s in self.seeds),
             tile_length=cfg.tile_length, threshold=self.x_eff,
             block_size=cfg.block_size, vote_topk=cfg.vote_topk,
-            frame_stride=S, vote_min=2 // S)
+            frame_stride=S, vote_min=2 // S,
+            probe_seeds=cfg.probe_seeds)
         # insertion is always full-resolution regardless of the query stride
         self.params_full = dataclasses.replace(
-            self.params, frame_stride=1, vote_min=2, threshold=cfg.threshold)
+            self.params, frame_stride=1, vote_min=2, threshold=cfg.threshold,
+            probe_seeds=0)
         self.compressed = cfg.mibf_mode == "compressed"
         self.cstate = None        # CompressedState after freeze
         self.state = dm.init_state(self.params)

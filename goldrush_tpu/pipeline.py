@@ -56,7 +56,8 @@ def _load_reads(path: str) -> list[bytes]:
 
 
 def run_pipeline(cfg: PipelineConfig, workdir: str = ".",
-                 until: str = "final", frame_stride: int = 1) -> dict:
+                 until: str = "final", frame_stride: int = 1,
+                 probe_seeds: int = 0) -> dict:
     """Run the pipeline up to stage `until` (one of: silver, golden,
     polished, tigmint, ntlink, final).  Returns stage->path map."""
     t_start = time.time()
@@ -64,13 +65,13 @@ def run_pipeline(cfg: PipelineConfig, workdir: str = ".",
     os.makedirs(workdir, exist_ok=True)
     os.chdir(workdir)
     try:
-        return _run(cfg, until, frame_stride, t_start)
+        return _run(cfg, until, frame_stride, probe_seeds, t_start)
     finally:
         os.chdir(cwd)
 
 
 def _run(cfg: PipelineConfig, until: str, frame_stride: int,
-         t_start: float) -> dict:
+         probe_seeds: int, t_start: float) -> dict:
     files = stage_filenames(cfg)
     reads_file = None
     for ext in (".fq", ".fastq", ".fq.gz", ".fastq.gz"):
@@ -100,6 +101,7 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                 pc = cfg.path_config(silver=True)
                 pc.input = reads_file
                 pc.frame_stride = frame_stride
+                pc.probe_seeds = probe_seeds
                 eng = GoldenPathEngine(pc)
                 eng.run()
             stage_time("goldrush-path (silver)", silver)
@@ -117,6 +119,7 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
             pc = cfg.path_config(silver=False)
             pc.input = files["silver_all"]
             pc.frame_stride = frame_stride
+            pc.probe_seeds = probe_seeds
             eng = GoldenPathEngine(pc)
             eng.run()
         stage_time("goldrush-path (golden)", golden)

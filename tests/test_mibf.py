@@ -210,3 +210,19 @@ def test_probe_vote_and_insert_parity():
     np.testing.assert_array_equal(np.asarray(state.words)[:SIZE],
                                   oracle.words[:SIZE])
     assert int(np.asarray(state.counts).sum()) == 0
+
+
+def test_probe_seeds_subset_matches_truncated_grid():
+    """probe_seeds=m must equal probing a grid that only contains the first
+    m seeds (gathers, atRank gate, votes, counters all restricted)."""
+    import dataclasses
+    codes, lengths, _ = make_batch([450, 300])
+    T = 5
+    slots, ok = device_grid(jnp.asarray(codes), lengths, T)
+    words = jnp.asarray(
+        RNG.integers(0, 1 << 31, SIZE + 1).astype(np.uint32))
+    p1 = dataclasses.replace(PARAMS, probe_seeds=1)
+    got = dm.probe_and_vote(words, slots, ok, p1, num_tiles=T)
+    want = dm.probe_and_vote(words, slots[:, :1, :], ok, PARAMS, num_tiles=T)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -69,6 +69,43 @@ def test_hash_at_matches_dense_points():
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.parametrize("stride", [4, 8])
+def test_lasttile_fastpath_matches_dense(stride):
+    """stride >= h path: clamp fix-ups restricted to the last tile must stay
+    bit-identical to the dense grid for every length residue class."""
+    from goldrush_tpu.ops.nthash import hash_sampled
+    rng = np.random.default_rng(17)
+    B, T, TL = 8, 5, 40
+    P = T * TL
+    codes = rng.integers(0, 4, (B, P + TL)).astype(np.uint8)
+    lengths = np.array([P, P - 1, P - 2, 4 * TL + 1, 3 * TL + 39,
+                        2 * TL + 5, TL, TL + stride - 1], dtype=np.int32)
+    p = _params(stride, tile_length=TL)
+    dense = hash_positions(jnp.asarray(codes), FAM, P)
+    slots_d, ok_d = dm.tile_slot_grid(dense, jnp.asarray(lengths), p, T)
+    clamp = dm.clamp_last_tile_positions(jnp.asarray(lengths), p)
+    hs, hc = hash_sampled(jnp.asarray(codes), FAM, P, stride, clamp)
+    slots_s, ok_s = dm.tile_slot_grid_sampled_lt(
+        hs, hc, jnp.asarray(lengths), p, T)
+    np.testing.assert_array_equal(np.asarray(ok_d), np.asarray(ok_s))
+    np.testing.assert_array_equal(np.asarray(slots_d), np.asarray(slots_s))
+
+
+def test_hash_sampled_matches_separate():
+    from goldrush_tpu.ops.nthash import hash_sampled
+    rng = np.random.default_rng(23)
+    B, P, S = 3, 240, 8
+    codes = rng.integers(0, 4, (B, P + 64)).astype(np.uint8)
+    pos = rng.integers(0, P, (B, 3, 5)).astype(np.int32)
+    hs, hc = hash_sampled(jnp.asarray(codes), FAM, P, S, jnp.asarray(pos))
+    np.testing.assert_array_equal(
+        np.asarray(hash_positions(jnp.asarray(codes), FAM, P, stride=S)),
+        np.asarray(hs))
+    np.testing.assert_array_equal(
+        np.asarray(hash_at(jnp.asarray(codes), FAM, jnp.asarray(pos))),
+        np.asarray(hc))
+
+
 def test_build_slot_grid_dispatch():
     rng = np.random.default_rng(5)
     B, T, TL = 2, 4, 40
