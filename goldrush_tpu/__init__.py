@@ -17,4 +17,18 @@ _plat = os.environ.get("GOLDRUSH_PLATFORM")
 if _plat:
     jax.config.update("jax_platforms", _plat)
 
+# persistent XLA compilation cache: the engine compiles one executable per
+# (batch, tile-bucket) shape; caching them on disk makes pipeline reruns and
+# the silver->golden double invocation start hot (set
+# GOLDRUSH_CACHE_DIR="" to disable)
+_cache = os.environ.get("GOLDRUSH_CACHE_DIR",
+                        os.path.expanduser("~/.cache/goldrush_tpu/xla"))
+if _cache:
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 __version__ = "0.1.0"

@@ -218,10 +218,14 @@ def insert_read(state: CompressedState, slots: jax.Array, tile_lo: jax.Array,
         block_id = jnp.where(
             trimmed, base_id + (m * bs + 1) // bs, base_id + m
         ).astype(jnp.uint32)
-        t_of = jnp.arange(TF, dtype=jnp.int32) // F
+        # slice the block's contiguous frame window (see mibf.insert_read)
+        W = min(bs, T) * F
+        start = jnp.clip(lo * F, 0, TF - W)
+        win = jax.lax.dynamic_slice(ranks, (jnp.int32(0), start), (H, W))
+        t_of = (start + jnp.arange(W, dtype=jnp.int32)) // F
         in_block = (t_of >= lo) & (t_of <= hi)
-        r = jnp.where(in_block[None, :], ranks,
-                      jnp.int64(pop_sentinel)).reshape(-1)
+        r = jnp.where(in_block[None, :], win,
+                      jnp.asarray(pop_sentinel, dtype=ranks.dtype)).reshape(-1)
         r = jax.lax.sort(r)
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=r.dtype), r[:-1]])
         u_first = (r != prev) & (r != pop_sentinel)

@@ -424,6 +424,7 @@ def insert_read(state: MibfState, slots: jax.Array, tile_lo: jax.Array,
     T = num_tiles
     F = TF // T
     bs = params.block_size
+    W = min(bs, T) * F          # static per-block window (frames)
     sentinel = jnp.asarray(params.size, dtype=slots.dtype)
     words0, counts0 = state
 
@@ -435,9 +436,15 @@ def insert_read(state: MibfState, slots: jax.Array, tile_lo: jax.Array,
             trimmed,
             base_id + (m * bs + 1) // bs,
             base_id + m).astype(jnp.uint32)
-        t_of = jnp.arange(TF, dtype=jnp.int32) // F
+        # a block's tiles are contiguous in the frame axis: slice only its
+        # window instead of masking/sorting the whole read (the sort is the
+        # insert's dominant cost and would otherwise scale with read length
+        # per block)
+        start = jnp.clip(lo * F, 0, TF - W)
+        win = jax.lax.dynamic_slice(slots, (jnp.int32(0), start), (H, W))
+        t_of = (start + jnp.arange(W, dtype=jnp.int32)) // F
         in_block = (t_of >= lo) & (t_of <= hi)
-        s = jnp.where(in_block[None, :], slots, sentinel).reshape(-1)
+        s = jnp.where(in_block[None, :], win, sentinel).reshape(-1)
         s = jax.lax.sort(s)
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
         u_first = (s != prev) & (s != sentinel)

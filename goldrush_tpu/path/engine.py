@@ -121,6 +121,8 @@ class GoldenPathEngine:
             dm.fill_presence, static_argnames=("size",),
             donate_argnums=(0,))
         self._insert_fn = {}
+        self._classify_fn = {}
+        self._full_slots_fn = {}
 
     # ------------------------------------------------------------------
     def _phred_gate_block(self, block):
@@ -240,51 +242,232 @@ class GoldenPathEngine:
         self.writers.append(w)
 
     def _classify(self, codes, lengths, T):
-        """hash -> grid -> vote -> classify for a padded [B] batch."""
-        slots, frame_ok = dm.build_slot_grid(
-            codes, jnp.asarray(lengths, dtype=jnp.int32), self.fam,
-            self.params, T)
-        if self.compressed:
-            from ..mibf import compressed as cz
-            votes = cz.probe_and_vote(self.cstate, slots, frame_ok,
-                                      self.params, num_tiles=T)
-        else:
-            votes = dm.probe_and_vote(self.state.words, slots, frame_ok,
-                                      self.params, num_tiles=T)
-        res = classify_batch(
-            votes.curr_id, votes.top_count, votes.cand_ids, votes.cand_counts,
-            jnp.asarray(lengths // self.params.tile_length, dtype=jnp.int32),
-            self.x_eff, self.cfg.unassigned_min, self.cfg.assigned_max)
-        return slots, votes, res
+        """hash -> grid -> vote -> classify for a padded [B] batch.
+
+        One fused jit executable per (B, T) bucket — re-checks against the
+        live state reuse the batch-shaped executable (recompiling a [1]-batch
+        variant per bucket would cost ~30 s of TPU compile each)."""
+        key = (codes.shape[0], T)
+        if key not in self._classify_fn:
+            params, x_eff, cfg = self.params, self.x_eff, self.cfg
+
+            def step(filt, codes, lengths):
+                slots, frame_ok = dm.build_slot_grid(
+                    codes, lengths, self.fam, params, T)
+                if self.compressed:
+                    from ..mibf import compressed as cz
+                    votes = cz.probe_and_vote(filt, slots, frame_ok, params,
+                                              num_tiles=T)
+                else:
+                    votes = dm.probe_and_vote(filt, slots, frame_ok, params,
+                                              num_tiles=T)
+                res = classify_batch(
+                    votes.curr_id, votes.top_count, votes.cand_ids,
+                    votes.cand_counts,
+                    (lengths // params.tile_length).astype(jnp.int32),
+                    x_eff, cfg.unassigned_min, cfg.assigned_max)
+                return slots, votes, res
+
+            self._classify_fn[key] = jax.jit(step)
+        filt = self.cstate if self.compressed else self.state.words
+        return self._classify_fn[key](
+            filt, jnp.asarray(codes),
+            jnp.asarray(lengths, dtype=jnp.int32))
 
     def _full_slots(self, codes_row, length, T):
         """Full-resolution probe grid of one read, for insertion (queries may
         be strided; inserts never are)."""
-        P = T * self.params.tile_length
-        hashes = hash_positions(codes_row, self.fam, P)
-        slots, _ = dm.tile_slot_grid(hashes, jnp.asarray(length),
-                                     self.params_full, T)
-        return slots[0]
+        if T not in self._full_slots_fn:
+            params_full = self.params_full
+
+            def fs(codes_row, length):
+                P = T * params_full.tile_length
+                hashes = hash_positions(codes_row, self.fam, P)
+                slots, _ = dm.tile_slot_grid(hashes, length, params_full, T)
+                return slots[0]
+
+            self._full_slots_fn[T] = jax.jit(fs)
+        return self._full_slots_fn[T](jnp.asarray(codes_row),
+                                      jnp.asarray(length, dtype=jnp.int32))
 
     def _insert(self, slots_row, tile_lo, tile_hi, base_id, trimmed, T):
         key = T
         if key not in self._insert_fn:
             max_blocks = -(-T // self.params.block_size) + 1
+            # donate the filter state: without donation every insert copies
+            # the full words+counts arrays (GBs at production scale)
             if self.compressed:
                 from ..mibf import compressed as cz
-                self._insert_fn[key] = lambda st, s, lo, hi, bid, tr: \
+                self._insert_fn[key] = jax.jit(
+                    lambda st, s, lo, hi, bid, tr:
                     cz.insert_read(st, s, lo, hi, bid, tr, self.params_full,
-                                   max_blocks=max_blocks, num_tiles=T)
+                                   max_blocks=max_blocks, num_tiles=T),
+                    donate_argnums=(0,))
             else:
-                self._insert_fn[key] = lambda st, s, lo, hi, bid, tr: \
+                self._insert_fn[key] = jax.jit(
+                    lambda st, s, lo, hi, bid, tr:
                     dm.insert_read(st, s, lo, hi, bid, tr, self.params_full,
-                                   max_blocks=max_blocks, num_tiles=T)
+                                   max_blocks=max_blocks, num_tiles=T),
+                    donate_argnums=(0,))
         args = (slots_row, jnp.int32(tile_lo), jnp.int32(tile_hi),
                 jnp.uint32(base_id), jnp.asarray(bool(trimmed)))
         if self.compressed:
             self.cstate = self._insert_fn[key](self.cstate, *args)
         else:
             self.state = self._insert_fn[key](self.state, *args)
+
+    # ------------------------------------------------------------------
+    def _consume_for(self, B, T):
+        """Fused per-batch executable: batched classify vs the batch-start
+        filter, then an exact sequential consume scan over the batch.
+
+        Drop-classified reads skip the scan body (recruited regions only
+        strengthen later queries, so a stale drop stays a drop — the same
+        monotonicity the optimistic host loop relied on); candidates are
+        re-classified inside the scan against the LIVE carried state and
+        recruited/rotated on device.  One dispatch + one [B, 10] fetch per
+        batch replaces per-recruit host round-trips (each a full tunnel/PCIe
+        round-trip plus a multi-GB state copy without donation)."""
+        key = (B, T)
+        if key in self._consume_fn:
+            return self._consume_fn[key]
+        params, params_full = self.params, self.params_full
+        fam, cfg, x_eff = self.fam, self.cfg, self.x_eff
+        TL, bs = params.tile_length, params.block_size
+        max_blocks = -(-T // bs) + 1
+        silver = bool(cfg.silver_path)
+        target = int(cfg.target_bases())
+        max_paths = int(cfg.max_paths)
+        u_min, a_max = cfg.unassigned_min, cfg.assigned_max
+        if self.compressed:
+            from ..mibf import compressed as cz
+
+            def probe(filt, s, ok):
+                return cz.probe_and_vote(filt, s, ok, params, num_tiles=T)
+
+            def insert(filt, sf, lo, hi, base, trimmed):
+                return cz.insert_read(filt, sf, lo, hi, base, trimmed,
+                                      params_full, max_blocks=max_blocks,
+                                      num_tiles=T)
+
+            def reset(filt):
+                return cz.reset_ids(filt)
+        else:
+            def probe(filt, s, ok):
+                return dm.probe_and_vote(filt.words, s, ok, params,
+                                         num_tiles=T)
+
+            def insert(filt, sf, lo, hi, base, trimmed):
+                return dm.insert_read(filt, sf, lo, hi, base, trimmed,
+                                      params_full, max_blocks=max_blocks,
+                                      num_tiles=T)
+
+            def reset(filt):
+                return dm.reset_ids(filt)
+
+        def classify(votes, n_tiles):
+            return classify_batch(votes.curr_id, votes.top_count,
+                                  votes.cand_ids, votes.cand_counts,
+                                  n_tiles, x_eff, u_min, a_max)
+
+        def consume(filt, codes, lengths, full_lengths, scal0):
+            # scal0: int64 [4] = ids_inserted, inserted_bases, path_idx, done
+            # lengths are bucket-capped for the probe grid; full_lengths are
+            # the true read lengths, used for inserted-base accounting
+            # (process_read adds the whole read, goldrush_path.cpp:996-1000)
+            n_tiles = (lengths // TL).astype(jnp.int32)
+            slots_q, frame_ok = dm.build_slot_grid(codes, lengths, fam,
+                                                   params, T)
+            votes0 = probe(filt, slots_q, frame_ok)
+            res0 = classify(votes0, n_tiles)
+            if params.frame_stride == 1:
+                slots_full = slots_q
+            else:
+                # dense insert grid, built only if the batch has a candidate
+                def mk_dense(_):
+                    g, _ok = dm.build_slot_grid(codes, lengths, fam,
+                                                params_full, T)
+                    return g
+
+                slots_full = jax.lax.cond(
+                    (res0.decision != 0).any(), mk_dense,
+                    lambda _: jnp.full((B, params.h, T * TL), params.size,
+                                       dtype=params.idx_dtype), None)
+
+            def body(carry, xs):
+                filt, ids_ins, ins_bases, path_idx, done = carry
+                sq, ok, sf, L, n_t, dec0, na0, q0, h0, m0, ov0 = xs
+
+                def skip(op):
+                    filt, ids_ins, ins_bases, path_idx, done = op
+                    out = jnp.stack([
+                        jnp.int64(0), jnp.int64(0), jnp.int64(0),
+                        na0.astype(jnp.int64), path_idx, q0, h0, m0,
+                        ov0.astype(jnp.int64), done.astype(jnp.int64)])
+                    return op, out
+
+                def full(op):
+                    filt, ids_ins, ins_bases, path_idx, done = op
+                    v = probe(filt, sq[None], ok[None])
+                    r = classify(v, n_t[None])
+                    dec = jnp.where(done != 0, 0, r.decision[0])
+                    ts = r.trim_start[0].astype(jnp.int64)
+                    te = r.trim_end[0].astype(jnp.int64)
+                    l_trim = jnp.where(te == n_t.astype(jnp.int64) - 1,
+                                       L - ts * TL, (te - ts + 1) * TL)
+                    rec_len = jnp.where(dec == 1, L,
+                                        jnp.where(dec == 2, l_trim, 0))
+                    lo = jnp.where(dec == 1, 0,
+                                   jnp.where(dec == 2, ts, 1)).astype(
+                                       jnp.int32)
+                    hi = jnp.where(dec == 1, n_t.astype(jnp.int64) - 1,
+                                   jnp.where(dec == 2, te, 0)).astype(
+                                       jnp.int32)
+                    base = (ids_ins + 1).astype(jnp.uint32)
+                    filt = insert(filt, sf, lo, hi, base, dec == 2)
+                    blocks = jnp.where(
+                        dec == 1, 1 + L // (TL * bs),
+                        jnp.where(dec == 2, 1 + (te - ts) // bs, 0))
+                    ids_ins = ids_ins + blocks
+                    ins_bases = ins_bases + rec_len
+                    path_here = path_idx
+                    rotate = (jnp.bool_(silver) & (dec > 0)
+                              & (target < ins_bases) & (done == 0))
+                    path_idx = jnp.where(rotate, path_idx + 1, path_idx)
+                    overflow = rotate & (max_paths < path_idx)
+                    done = jnp.where(overflow, jnp.int64(1), done)
+                    do_reset = rotate & ~overflow
+                    filt = jax.lax.cond(do_reset, reset, lambda f: f, filt)
+                    ids_ins = jnp.where(do_reset, 0, ids_ins)
+                    ins_bases = jnp.where(do_reset, 0, ins_bases)
+                    out = jnp.stack([
+                        dec.astype(jnp.int64), ts, te,
+                        r.num_assigned[0].astype(jnp.int64), path_here,
+                        v.queries[0].astype(jnp.int64),
+                        v.hits[0].astype(jnp.int64),
+                        v.misses[0].astype(jnp.int64),
+                        v.overflow.sum().astype(jnp.int64),
+                        jnp.int64(0)])
+                    return (filt, ids_ins, ins_bases, path_idx, done), out
+
+                return jax.lax.cond((dec0 != 0) & (done == 0), full, skip,
+                                    carry)
+
+            xs = (slots_q, frame_ok, slots_full,
+                  full_lengths.astype(jnp.int64), n_tiles,
+                  res0.decision, res0.num_assigned,
+                  votes0.queries.astype(jnp.int64),
+                  votes0.hits.astype(jnp.int64),
+                  votes0.misses.astype(jnp.int64),
+                  votes0.overflow.sum(axis=1).astype(jnp.int64))
+            carry0 = (filt, scal0[0], scal0[1], scal0[2], scal0[3])
+            (filt, ids_ins, ins_bases, path_idx, done), out = jax.lax.scan(
+                body, carry0, xs)
+            scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
+            return filt, out, scal
+
+        self._consume_fn[key] = jax.jit(consume, donate_argnums=(0,))
+        return self._consume_fn[key]
 
     # ------------------------------------------------------------------
     def assign(self, path: str) -> None:
@@ -310,58 +493,49 @@ class GoldenPathEngine:
                 return
             B = len(batch)
             T = max(_bucket_for(len(r.seq) // TL, cap) for r, _ in batch)
-            Bpad = cfg.batch_reads
+            Bpad = max(B, cfg.batch_reads)
             Lmax = T * TL + TL
-            codes = np.zeros((max(B, Bpad), Lmax), dtype=np.uint8)
-            lengths = np.zeros(max(B, Bpad), dtype=np.int32)
+            codes = np.zeros((Bpad, Lmax), dtype=np.uint8)
+            lengths = np.zeros(Bpad, dtype=np.int32)
             for i, (r, c) in enumerate(batch):
                 L = min(len(c), Lmax)
                 codes[i, :L] = c[:L]
                 # cap tiles at the bucket limit (reads longer than
                 # max_tiles*TL tiles are classified on the first cap tiles)
                 lengths[i] = min(len(c), T * TL + TL - 1)
-            slots, votes, res = self._classify(codes, lengths, T)
-            decisions = np.asarray(res.decision)
-            trim_s = np.asarray(res.trim_start)
-            trim_e = np.asarray(res.trim_end)
-            num_assigned = np.asarray(res.num_assigned)
-            st.queries += int(np.asarray(votes.queries)[:B].sum())
-            st.hits += int(np.asarray(votes.hits)[:B].sum())
-            st.misses += int(np.asarray(votes.misses)[:B].sum())
-            st.vote_overflow += int(np.asarray(votes.overflow)[:B].sum())
-            state_dirty = False     # inserts since batch classify?
+            full_lengths = np.zeros(Bpad, dtype=np.int64)
             for i, (r, c) in enumerate(batch):
-                if done:
+                full_lengths[i] = len(r.seq)
+            fn = self._consume_for(Bpad, T)
+            scal0 = jnp.asarray([ids_inserted, inserted_bases, curr_path,
+                                 0], dtype=jnp.int64)
+            filt = self.cstate if self.compressed else self.state
+            filt, out_d, scal_d = fn(filt, jnp.asarray(codes),
+                                     jnp.asarray(lengths),
+                                     jnp.asarray(full_lengths), scal0)
+            if self.compressed:
+                self.cstate = filt
+            else:
+                self.state = filt
+            out = np.asarray(out_d)          # [Bpad, 10] single fetch
+            scal = np.asarray(scal_d)
+            for i, (r, c) in enumerate(batch):
+                (dec, ts, te, na, path_i, q, h, m, ov, done_b) = (
+                    int(x) for x in out[i])
+                if done_b:
                     break
                 # effective tile count is capped at the bucket limit (reads
                 # longer than max_tiles*TL are classified on their first
                 # max_tiles tiles; the reference has no such cap)
                 num_tiles = int(lengths[i]) // TL
                 st.total_tiles += num_tiles
-                dec, ts, te, na = (int(decisions[i]), int(trim_s[i]),
-                                   int(trim_e[i]), int(num_assigned[i]))
-                if dec != 0 and state_dirty:
-                    # re-check against the live state (exact sequential view)
-                    c1 = codes[i:i + 1]
-                    l1 = lengths[i:i + 1]
-                    s1, v1, r1 = self._classify(c1, l1, T)
-                    dec = int(np.asarray(r1.decision)[0])
-                    ts = int(np.asarray(r1.trim_start)[0])
-                    te = int(np.asarray(r1.trim_end)[0])
-                    na = int(np.asarray(r1.num_assigned)[0])
-                    slots_row = s1[0]
-                else:
-                    slots_row = slots[i]
+                st.queries += q
+                st.hits += h
+                st.misses += m
+                st.vote_overflow += ov
                 st.assigned_tiles += na
                 st.unassigned_tiles += num_tiles - na
-                if dec in (1, 2) and self.cfg.frame_stride != 1:
-                    slots_row = self._full_slots(codes[i:i + 1],
-                                                 lengths[i:i + 1], T)
-                if dec == 1:        # recruit whole read
-                    ids_inserted += 1
-                    self._insert(slots_row, 0, num_tiles - 1, ids_inserted,
-                                 False, T)
-                    ids_inserted += len(r.seq) // (TL * cfg.block_size)
+                if dec == 1:        # recruited whole read
                     self.writers[-1].write(r.id, "_untrimmed", r.seq, r.qual)
                     inserted_bases += len(r.seq)
                     st.inserted_bases_in_path += len(r.seq)
@@ -370,11 +544,7 @@ class GoldenPathEngine:
                     if r.qual is not None:
                         st.phred_sum_in_path += sum_phred(
                             np.frombuffer(r.qual, dtype=np.uint8))
-                    state_dirty = True
-                elif dec == 2:      # recruit trimmed
-                    ids_inserted += 1
-                    self._insert(slots_row, ts, te, ids_inserted, True, T)
-                    ids_inserted += (te - ts) // cfg.block_size
+                elif dec == 2:      # recruited trimmed
                     if te == num_tiles - 1:
                         seq = r.seq[ts * TL:]
                         qual = r.qual[ts * TL:] if r.qual else None
@@ -390,9 +560,10 @@ class GoldenPathEngine:
                     if qual is not None:
                         st.phred_sum_in_path += sum_phred(
                             np.frombuffer(qual, dtype=np.uint8))
-                    state_dirty = True
                 st.valid_reads += 1
-                # silver-path rotation (goldrush_path.cpp:156-187)
+                # silver-path rotation (goldrush_path.cpp:156-187): the
+                # device scan already rotated/reset the filter; mirror the
+                # host-side bookkeeping
                 if dec in (1, 2) and cfg.silver_path and \
                         target_bases < inserted_bases:
                     st.paths_completed += 1
@@ -406,15 +577,13 @@ class GoldenPathEngine:
                     st.reads_in_path = 0
                     st.inserted_bases_in_path = 0
                     st.phred_sum_in_path = 0.0
-                    if self.compressed:
-                        from ..mibf import compressed as cz
-                        self.cstate = cz.reset_ids(self.cstate)
-                    else:
-                        self.state = dm.reset_ids(self.state)
-                    ids_inserted = 0
                     self.writers[-1].close()
                     self._open_writer(curr_path)
-                    state_dirty = True
+            ids_inserted = int(scal[0])
+            assert inserted_bases == int(scal[1]) or done, \
+                (inserted_bases, int(scal[1]))
+            assert curr_path == int(scal[2]) or done, \
+                (curr_path, int(scal[2]))
 
         for rec in stream:
             if done:
