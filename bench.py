@@ -1,119 +1,173 @@
-"""Single-chip benchmark of the golden-path hot loop.
+"""Single-chip benchmark of the golden-path ENGINE (end-to-end pass 2) plus
+the classify-kernel microbenchmark.
 
-Measures steady-state throughput of the core compute path — spaced-seed
-hashing -> miBF probe -> per-tile vote -> smoothing/decision — for 30 kb
-reads against an HBM-resident filter sized for a 50 Mbp genome at default
-parameters (realistic random-gather pressure).  Prints ONE JSON line.
+Primary metric: `GoldenPathEngine.assign` reads/s — the full product path
+(host IO + encode + batching + hash -> probe -> vote -> smoothing ->
+sequential recruit scan -> path-file writes) on a synthetic ONT-like dataset
+(5 Mbp genome, ~12x 20 kb reads, 5% error) in silver-path mode, i.e. the
+same work `goldrush-path --silver_path` does (goldrush_path.cpp:1096-1275).
+Reported for the production throughput settings (frame_stride 8, 1 probed
+seed, optimistic recheck) with the exact-parity settings (stride 1, all
+seeds, exact recheck — bit-identical to the reference binary per
+tests/test_ref_parity.py) alongside.
 
-Timing methodology: every step folds its outputs into a carried scalar that
-is fetched to host after the timed loop, so the wall window provably
-contains all device work (block_until_ready does not await completion on
-remote-tunnel devices); min-of-3 runs rejects host-side scheduling noise.
+Timing: the first engine run warms the persistent XLA cache; the reported
+run is a fresh engine (steady-state compile-free device path, honest host
+overheads included).  Prints ONE JSON line.
 
-Baseline: the reference runs the full pipeline on 67x human ONT
-(~6.7M reads) in 16.6 h on 48 Xeon threads (README.md:117-121); attributing
-one third of the wall clock to the two goldrush-path passes gives
-~340 reads/s for the 48-thread C++ golden-path engine.  vs_baseline is
-measured reads/s divided by that estimate.
+Baseline: the reference runs the full pipeline on 67x human ONT (~6.7M
+reads) in 16.6 h on 48 Xeon threads (README.md:117-121); attributing one
+third of the wall clock to the two goldrush-path passes gives ~340 reads/s
+for the 48-thread C++ engine.  vs_baseline = engine reads/s / 340.
 """
 
+import dataclasses
 import json
 import math
+import os
+import tempfile
 import time
 
 import numpy as np
 
-import goldrush_tpu  # noqa: F401
+import goldrush_tpu  # noqa: F401  (enables x64 + compile cache)
 import jax
 import jax.numpy as jnp
 
+from goldrush_tpu.config import PathConfig
 from goldrush_tpu.mibf import mibf as dm
 from goldrush_tpu.ops.nthash import build_seed_family
 from goldrush_tpu.ops.seeds import make_seed_pattern
 from goldrush_tpu.parallel.mesh import classify_step
+from goldrush_tpu.path.engine import GoldenPathEngine
+from goldrush_tpu.utils import synth
 
 BASELINE_READS_PER_S = 340.0
+PRESET = "1011011110110111101101"
 
-READ_LEN = 30_000
-TILES = 30
-BATCH = 64
-GENOME = 50_000_000
-STRIDE = 8          # production frame stride (see MibfParams.frame_stride)
-PROBE_SEEDS = 1     # production probe-seed count (see MibfParams.probe_seeds)
+GENOME = 5_000_000
+READ_LEN = 20_000
+N_READS = 3_000          # ~12x coverage
+STRIDE = 8               # production frame stride
+PROBE_SEEDS = 1          # production probe-seed count
 
 
-def build_filter(size: int, occupancy: float, n_ids: int, key) -> jax.Array:
-    """Synthetic steady-state filter: `occupancy` of slots present, half of
-    present slots holding a recruited block ID."""
+def make_dataset(workdir: str) -> str:
+    path = os.path.join(workdir, "bench_reads.fq")
+    genome = synth.random_genome(GENOME, seed=11)
+    reads = synth.simulate_reads(genome, N_READS, READ_LEN, seed=12,
+                                 err_rate=0.05)
+    synth.write_fastq(path, reads)
+    return path
+
+
+def engine_cfg(reads: str, workdir: str, tag: str, **kw) -> PathConfig:
+    return PathConfig(
+        input=reads, genome_size=GENOME, kmer_size=22, weight=16, hash_num=3,
+        seed_preset=PRESET, silver_path=True, max_paths=5, min_length=20_000,
+        prefix_file=os.path.join(workdir, f"bench_{tag}"), **kw)
+
+
+def run_engine(cfg: PathConfig) -> dict:
+    eng = GoldenPathEngine(cfg)
+    stats = eng.run()
+    return {
+        "fill_s": round(stats.wall_fill_s, 3),
+        "assign_s": round(stats.wall_assign_s, 3),
+        "reads": stats.num_reads,
+        "recruits": stats.recruits,
+        "reads_per_s": round(stats.num_reads / max(stats.wall_assign_s, 1e-9),
+                             2),
+    }
+
+
+def measure_engine(reads: str, workdir: str, tag: str, **kw) -> dict:
+    run_engine(engine_cfg(reads, workdir, tag + "_warm", **kw))  # XLA cache
+    return run_engine(engine_cfg(reads, workdir, tag, **kw))
+
+
+def classify_microbench() -> dict:
+    """Steady-state classify-kernel throughput (30 kb reads, 50 Mbp-genome
+    filter): the device-side ceiling, without host loop/IO/recruit scan."""
+    seeds = make_seed_pattern(PRESET, 22, 16, 3)
+    fam = build_seed_family(seeds)
+    universe = int(min(4 ** 16, 2 * 50_000_000) * 0.5 * 3)
+    size = int(-universe / math.log(0.9))
+    size += 64 - size % 64
+    key = jax.random.PRNGKey(0)
     chunk = 1 << 27
     parts = []
     for lo in range(0, size + 1, chunk):
         n = min(chunk, size + 1 - lo)
         key, k1, k2 = jax.random.split(key, 3)
         r = jax.random.randint(k1, (n,), 0, 1 << 30, dtype=jnp.uint32)
-        ids = jax.random.randint(k2, (n,), 1, n_ids, dtype=jnp.uint32)
-        present = r < jnp.uint32(int(occupancy * (1 << 30)))
-        with_id = r < jnp.uint32(int(0.5 * occupancy * (1 << 30)))
+        ids = jax.random.randint(k2, (n,), 1, 200_000, dtype=jnp.uint32)
+        present = r < jnp.uint32(int(0.1 * (1 << 30)))
+        with_id = r < jnp.uint32(int(0.05 * (1 << 30)))
         w = jnp.where(present, dm.PRESENT_BIT, 0).astype(jnp.uint32)
-        w = jnp.where(with_id, w | ids, w)
-        parts.append(w)
-    return jnp.concatenate(parts)
+        parts.append(jnp.where(with_id, w | ids, w))
+    words = jnp.concatenate(parts)
+    BATCH, TILES, RL = 64, 30, 30_000
+    rng = np.random.default_rng(1)
+    codes = jnp.asarray(rng.integers(0, 4, (BATCH, RL + 1024)).astype(np.uint8))
+    lengths = jnp.full(BATCH, RL, dtype=jnp.int32)
+    params = dm.MibfParams(
+        size=size, h=3, k=22, spans=(22, 23, 24), tile_length=1000,
+        threshold=max(1, 10 // STRIDE), block_size=10, vote_topk=32,
+        frame_stride=STRIDE, vote_min=max(1, 2 // STRIDE),
+        probe_seeds=PROBE_SEEDS)
+
+    def step(words, c, lengths, acc):
+        res, _, votes = classify_step(
+            words, c, lengths, fam, params, TILES,
+            threshold=params.threshold, unassigned_min=5, assigned_max=1)
+        return acc + res.decision.astype(jnp.int32).sum() \
+            + res.num_assigned.sum() + votes.queries.sum().astype(jnp.int32)
+
+    jstep = jax.jit(step)
+    int(jstep(words, codes, lengths, jnp.int32(0)))      # warm-up
+    best = float("inf")
+    for _ in range(3):
+        acc = jnp.int32(0)
+        t0 = time.time()
+        for _ in range(16):
+            acc = jstep(words, codes, lengths, acc)
+        int(acc)                 # host fetch closes the timed window
+        best = min(best, (time.time() - t0) / 16)
+    rps = BATCH / best
+    return {
+        "classify_reads_per_s": round(rps, 2),
+        "queries_per_s": round(rps * TILES * ((1000 - 21) // STRIDE)),
+    }
 
 
 def main():
-    seeds = make_seed_pattern("1011011110110111101101", 22, 16, 3)
-    fam = build_seed_family(seeds)
-    universe = int(min(4 ** 16, 2 * GENOME) * 0.5 * 3)
-    size = int(-universe / math.log(0.9))
-    size += 64 - size % 64
-    key = jax.random.PRNGKey(0)
-    words = build_filter(size, 0.1, 200_000, key)
-    rng = np.random.default_rng(1)
-    codes = jnp.asarray(
-        rng.integers(0, 4, (BATCH, READ_LEN + 1024)).astype(np.uint8))
-    lengths = jnp.full(BATCH, READ_LEN, dtype=jnp.int32)
+    workdir = tempfile.mkdtemp(prefix="goldrush_bench_")
+    reads = make_dataset(workdir)
 
-    def measure(stride, probe_seeds, reps=16, runs=3):
-        params = dm.MibfParams(
-            size=size, h=3, k=22, spans=(22, 23, 24), tile_length=1000,
-            threshold=max(1, 10 // stride), block_size=10, vote_topk=32,
-            frame_stride=stride, vote_min=2 // stride,
-            probe_seeds=probe_seeds)
+    throughput = measure_engine(
+        reads, workdir, "tp",
+        frame_stride=STRIDE, probe_seeds=PROBE_SEEDS, recheck="optimistic",
+        batch_reads=64)
+    parity = measure_engine(reads, workdir, "parity")     # exact defaults
 
-        def step(words, c, lengths, acc):
-            res, _, votes = classify_step(
-                words, c, lengths, fam, params, TILES,
-                threshold=params.threshold, unassigned_min=5, assigned_max=1)
-            return acc + res.decision.astype(jnp.int32).sum() \
-                + res.num_assigned.sum() \
-                + votes.queries.sum().astype(jnp.int32)
-
-        jstep = jax.jit(step)
-        acc = jstep(words, codes, lengths, jnp.int32(0))
-        int(acc)                     # warm-up: compile + execute + fetch
-        best = float("inf")
-        for _ in range(runs):
-            acc = jnp.int32(0)
-            t0 = time.time()
-            for _ in range(reps):
-                acc = jstep(words, codes, lengths, acc)
-            int(acc)                 # host fetch closes the timed window
-            best = min(best, (time.time() - t0) / reps)
-        return BATCH / best, best
-
-    parity_rps, _ = measure(1, 0, reps=8)
-    rps, dt = measure(STRIDE, PROBE_SEEDS)
-    queries_per_s = rps * TILES * ((1000 - 21) // STRIDE)
+    micro = classify_microbench()
+    rps = throughput["reads_per_s"]
     result = {
-        "metric": "golden_path_classify_reads_per_s",
-        "value": round(rps, 2),
-        "unit": f"reads/s (30kb reads, 50Mbp-genome miBF, stride {STRIDE}, "
-                f"{PROBE_SEEDS} probed seed, single chip)",
+        "metric": "golden_path_engine_reads_per_s",
+        "value": rps,
+        "unit": f"reads/s (end-to-end pass 2: 20kb reads, 5Mbp genome, "
+                f"5% err, silver mode, stride {STRIDE}, {PROBE_SEEDS} probed "
+                f"seed, single chip)",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
-        "queries_per_s": round(queries_per_s),
-        "parity_mode_reads_per_s": round(parity_rps, 2),
+        "engine_parity_reads_per_s": parity["reads_per_s"],
+        "parity_vs_baseline": round(
+            parity["reads_per_s"] / BASELINE_READS_PER_S, 3),
+        "fill_s": throughput["fill_s"],
+        "assign_s": throughput["assign_s"],
+        "recruits": throughput["recruits"],
+        **micro,
         "device": str(jax.devices()[0]),
-        "step_ms": round(dt * 1e3, 3),
     }
     print(json.dumps(result))
 

@@ -60,6 +60,11 @@ class PathConfig:
                                     # with count>2; overflow is counted + logged)
     mibf_mode: str = "direct"       # "direct" (slot-indexed ids) | "compressed"
                                     # (rank-compressed like MIBloomFilter.hpp:94-101)
+    slot_map: str = "fastrange"     # "fastrange" (TPU-fast default) | "mod"
+                                    # (the reference's hash % size; with
+                                    # mibf_mode=compressed this is the exact
+                                    # bit-parity mode diffed against the
+                                    # compiled reference in test_ref_parity)
     frame_stride: int = 1           # probe every Nth frame per tile with
                                     # thresholds scaled by N (1 = exact
                                     # reference semantics; >1 = throughput
@@ -68,6 +73,16 @@ class PathConfig:
                                     # frame (0 = all h; <h = throughput mode —
                                     # same per-tile vote operating point since
                                     # same-ID votes dedupe within a frame)
+    recheck: str = "exact"          # batch-staleness policy: "exact" re-runs
+                                    # every read against the live filter once
+                                    # it changed mid-batch (reference-identical
+                                    # sequential semantics at any batch size);
+                                    # "optimistic" only re-runs stale
+                                    # candidates (reads classified drop vs the
+                                    # batch-start state stay dropped — rare
+                                    # drift in recruit-dense phases, higher
+                                    # throughput).  A silver reset always
+                                    # invalidates the rest of the batch.
     use_pallas: bool = True         # fused Pallas probe kernel where available
     devices: int = 0                # 0 = all local devices
 
@@ -85,6 +100,16 @@ class PathConfig:
                 raise ValueError("seed preset must have the same weight as w")
         if self.mibf_mode not in ("direct", "compressed"):
             raise ValueError(f"unknown mibf_mode {self.mibf_mode!r}")
+        if self.slot_map not in ("fastrange", "mod"):
+            raise ValueError(f"unknown slot_map {self.slot_map!r}")
+        if self.probe_seeds < 0 or self.probe_seeds > self.hash_num:
+            raise ValueError(
+                f"probe_seeds ({self.probe_seeds}) must be in "
+                f"[0, hash_num={self.hash_num}]")
+        if self.frame_stride < 1:
+            raise ValueError("frame_stride must be >= 1")
+        if self.recheck not in ("exact", "optimistic"):
+            raise ValueError(f"unknown recheck {self.recheck!r}")
 
     def derived_hash_universe(self) -> int:
         """Hash-universe sizing heuristic (goldrush_path.cpp:1109-1123).

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mibf import (ID_MASK, PRESENT_BIT, SAT_BIT, MibfParams, VoteResult,
-                   fastrange)
+                   slot_of)
 
 SUPER_BITS = 32          # slots per superblock = 2^32
 
@@ -44,9 +44,9 @@ class CompressedState(NamedTuple):
 
 
 def fill_bytes(presence: jax.Array, hashes: jax.Array, valid: jax.Array,
-               size: int) -> jax.Array:
+               size: int, slot_mode: str = "fastrange") -> jax.Array:
     """Pass-1 presence into a transient byte-per-slot array."""
-    slots = fastrange(hashes.reshape(-1), size)
+    slots = slot_of(hashes.reshape(-1), size, slot_mode)
     slots = jnp.where(valid.reshape(-1), slots, jnp.uint64(size))
     return presence.at[slots.astype(jnp.int64)].max(jnp.uint8(1),
                                                     mode="drop")
@@ -109,8 +109,9 @@ def probe_and_vote(state: CompressedState, slots: jax.Array,
                    ) -> VoteResult:
     """Compressed-mode probe+vote with identical vote semantics to the
     direct kernel (see mibf.probe_and_vote)."""
-    from . import mibf as dm
-    B, H, TF = slots.shape
+    B, H_all, TF = slots.shape
+    H = params.probe_seeds or H_all          # seeds actually probed (mirrors
+    # the direct kernel; see mibf.probe_and_vote probe_seeds semantics)
     # translate each probe into a direct-mode-style word: PRESENT|id
     words = []
     for s in range(H):

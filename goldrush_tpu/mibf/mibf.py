@@ -66,7 +66,16 @@ class MibfParams:
     # single-chip reads/s ceiling) by probe_seeds/h with the same per-tile
     # vote operating point; thresholds need no rescaling.  Insertion always
     # uses all h seeds, so sampled queries still see every recruited region.
+    # Tradeoff: probing M<h seeds also weakens the h-way presence AND-gate,
+    # raising per-frame Bloom false positives from ~occ^h toward ~occ^M; the
+    # engine keeps vote_min >= 1 whenever it samples (stride>1) so a single
+    # spurious frame vote cannot become a smoothing candidate.
     probe_seeds: int = 0
+    # hash -> slot map: "fastrange" (floor(h*size/2^64), one u32-pair multiply
+    # — the TPU-fast default) or "mod" (hash % size — the reference's map,
+    # MIBloomFilter.hpp:203/340/451; bit-parity mode for diffing goldtigs
+    # against the compiled reference binary, see tests/ref_harness/).
+    slot_map: str = "fastrange"
 
     @property
     def idx_dtype(self):
@@ -86,8 +95,8 @@ def init_state(params: MibfParams) -> MibfState:
 
 
 def fastrange(h: jax.Array, size: int) -> jax.Array:
-    """floor(h * size / 2**64) for size < 2**32 — the slot map (replaces the
-    reference's 64-bit modulo, which TPUs lack)."""
+    """floor(h * size / 2**64) for size < 2**32 — the default slot map
+    (replaces the reference's 64-bit modulo, which TPUs lack fast ops for)."""
     h = h.astype(jnp.uint64)
     s = jnp.uint64(size)
     p1 = (h >> jnp.uint64(32)) * s
@@ -95,11 +104,19 @@ def fastrange(h: jax.Array, size: int) -> jax.Array:
     return (p1 + p2) >> jnp.uint64(32)
 
 
+def slot_of(h: jax.Array, size: int, mode: str = "fastrange") -> jax.Array:
+    """hash -> slot under the configured map (see MibfParams.slot_map)."""
+    if mode == "mod":
+        return h.astype(jnp.uint64) % jnp.uint64(size)
+    return fastrange(h, size)
+
+
 def fill_presence(words: jax.Array, hashes: jax.Array, valid: jax.Array,
-                  size: int, idx_dtype=jnp.int32) -> jax.Array:
+                  size: int, idx_dtype=jnp.int32,
+                  slot_mode: str = "fastrange") -> jax.Array:
     """Pass-1 presence fill (MIBFConstructSupport.hpp:134-147): set the
     presence bit for every valid hash's slot."""
-    slots = fastrange(hashes.reshape(-1), size)
+    slots = slot_of(hashes.reshape(-1), size, slot_mode)
     slots = jnp.where(valid.reshape(-1), slots, jnp.uint64(size))
     return words.at[slots.astype(idx_dtype)].max(
         jnp.uint32(PRESENT_BIT), mode="drop")
@@ -109,10 +126,11 @@ def fill_presence(words: jax.Array, hashes: jax.Array, valid: jax.Array,
 # tile/frame slot grid
 # ---------------------------------------------------------------------------
 
-def position_slots(hashes: jax.Array, size: int, idx_dtype) -> jax.Array:
-    """fastrange the whole-read hash array once: uint64 [B,h,P] -> slot
+def position_slots(hashes: jax.Array, size: int, idx_dtype,
+                   slot_mode: str = "fastrange") -> jax.Array:
+    """Slot-map the whole-read hash array once: uint64 [B,h,P] -> slot
     indices [B,h,P] (no sentinel; masking happens downstream)."""
-    return fastrange(hashes, size).astype(idx_dtype)
+    return slot_of(hashes, size, slot_mode).astype(idx_dtype)
 
 
 @partial(jax.jit, static_argnames=("params", "num_tiles_max"))
@@ -141,7 +159,8 @@ def tile_slot_grid(hashes: jax.Array, lengths: jax.Array,
     B = hashes.shape[0]
     T, F, H = num_tiles_max, TL // S, params.h
     P = hashes.shape[2]
-    spos = position_slots(hashes, params.size, params.idx_dtype)
+    spos = position_slots(hashes, params.size, params.idx_dtype,
+                          params.slot_map)
     sentinel = jnp.asarray(params.size, dtype=params.idx_dtype)
     t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]              # [T,1]
     f_idx = jnp.arange(F, dtype=jnp.int32)[None, :] * S          # [1,F] actual
@@ -211,9 +230,10 @@ def tile_slot_grid_sampled(h_strided: jax.Array, h_clamp: jax.Array,
     frames_t, in_read, _ = clamp_tile_geometry(lengths, params, T)
     frame_ok = (in_read[:, :, None]
                 & (f_idx < frames_t[:, :, None])).reshape(B, T * F)
-    spos = fastrange(h_strided[:, :, : T * F], params.size
-                     ).astype(params.idx_dtype)                   # [B,H,TF]
-    cvals = fastrange(h_clamp, params.size).astype(params.idx_dtype)
+    spos = slot_of(h_strided[:, :, : T * F], params.size, params.slot_map
+                   ).astype(params.idx_dtype)                     # [B,H,TF]
+    cvals = slot_of(h_clamp, params.size,
+                    params.slot_map).astype(params.idx_dtype)
     slot_list = []
     for s in range(H):
         F_ts = frames_t - (params.spans[s] - k)                   # [B,T]
@@ -265,10 +285,10 @@ def tile_slot_grid_sampled_lt(h_strided: jax.Array, h_clamp_last: jax.Array,
     is_last = t_idx == (num_tiles - 1)                            # [B,T]
     frame_ok = (in_read[:, :, None]
                 & (f_idx < frames_t[:, :, None])).reshape(B, T * F)
-    spos = fastrange(h_strided[:, :, : T * F], params.size
-                     ).astype(params.idx_dtype)
-    cvals = fastrange(h_clamp_last[:, :, 0], params.size
-                      ).astype(params.idx_dtype)                  # [B,H]
+    spos = slot_of(h_strided[:, :, : T * F], params.size, params.slot_map
+                   ).astype(params.idx_dtype)
+    cvals = slot_of(h_clamp_last[:, :, 0], params.size,
+                    params.slot_map).astype(params.idx_dtype)     # [B,H]
     slot_list = []
     for s in range(H):
         F_ts = frames_t - (params.spans[s] - k)

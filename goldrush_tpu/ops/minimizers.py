@@ -30,24 +30,23 @@ def _unspaced_family(k: int):
 
 @partial(jax.jit, static_argnames=("k", "w", "num_positions"))
 def minimizer_keys(codes: jax.Array, k: int, w: int, num_positions: int
-                   ) -> jax.Array:
-    """Packed minimizer keys per window for a padded batch.
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Packed minimizer keys per window + position hashes, one fused jit.
 
-    codes: uint8 [B, L]; returns uint64 [B, num_windows] where each entry is
-    (hash << 20 | position) of the window minimizer; num_windows =
-    num_positions - w + 1.  Caller masks windows beyond a sequence's valid
-    range and dedupes repeated selections.
+    codes: uint8 [B, L]; returns (keys uint64 [B, num_windows], hashes
+    uint64 [B, num_positions]) where each key is (hash << 20 | position) of
+    the window minimizer; num_windows = num_positions - w + 1.  Caller masks
+    windows beyond a sequence's valid range and dedupes repeated selections.
     """
     fam = _unspaced_family(k)
     hashes = hash_positions(codes, fam, num_positions)[:, 0, :]   # [B, P]
     pos = jnp.arange(num_positions, dtype=jnp.uint64)
     # keep the top 44 bits of the hash; low 20 bits carry the position
     keys = ((hashes >> jnp.uint64(20)) << jnp.uint64(20)) | pos
-    nw = num_positions - w + 1
     mins = jax.lax.reduce_window(
         keys, jnp.uint64(0xFFFFFFFFFFFFFFFF), jax.lax.min,
         window_dimensions=(1, w), window_strides=(1, 1), padding="VALID")
-    return mins                                                   # [B, nw]
+    return mins, hashes                                           # [B, nw]
 
 
 def minimizers_np(seq_codes: np.ndarray, k: int, w: int
@@ -74,9 +73,8 @@ def batch_minimizers(codes: np.ndarray, lengths: np.ndarray, k: int, w: int
     (positions, hashes) with window masking and dedupe done host-side."""
     B, L = codes.shape
     P = max(L - k + 1, w)
-    keys = np.asarray(minimizer_keys(codes, k, w, P))
-    fam = _unspaced_family(k)
-    hashes = np.asarray(hash_positions(codes, fam, P)[:, 0, :])
+    keys_d, hashes_d = minimizer_keys(codes, k, w, P)
+    keys, hashes = np.asarray(keys_d), np.asarray(hashes_d)
     out = []
     for b in range(B):
         nvalid = int(lengths[b]) - k + 1

@@ -10,14 +10,14 @@ around the batched device kernels:
           miBF state at batch start, then candidates (non-drop decisions) are
           re-checked sequentially against the live state before recruitment.
 
-Because query results only strengthen as IDs are inserted, a read classified
-"drop" against the batch-start state stays dropped under the exact
-sequential state (modulo rare reservoir overwrites, the same nondeterminism
-class the reference accepts across thread interleavings —
-MIBloomFilter.hpp:105-107).  Candidates see the exact live state before any
-insertion, and the re-check is skipped entirely while no insert has happened
-since batch start — so with batch_reads=1 the engine is bit-exact sequential
-(parity mode, asserted against path.oracle_engine in tests).
+Batch staleness policy (cfg.recheck): "exact" (default) re-runs every read
+against the live carried state from the first mid-batch insert onward, so
+the engine is bit-exact sequential at ANY batch size (proven against the
+compiled reference binary in tests/test_ref_parity.py); "optimistic" only
+re-runs stale candidates — a read classified "drop" against the batch-start
+state stays dropped, which can rarely diverge in recruit-dense phases (the
+same nondeterminism class the reference accepts across thread interleavings,
+MIBloomFilter.hpp:105-107) but skips the serialized re-checks.
 """
 
 from __future__ import annotations
@@ -104,8 +104,12 @@ class GoldenPathEngine:
             spans=tuple(len(s) for s in self.seeds),
             tile_length=cfg.tile_length, threshold=self.x_eff,
             block_size=cfg.block_size, vote_topk=cfg.vote_topk,
-            frame_stride=S, vote_min=2 // S,
-            probe_seeds=cfg.probe_seeds)
+            # vote_min floors at 1 for S>1: 2//S would hit 0 at stride>=4,
+            # letting every single spurious frame vote become a candidate
+            # (reference gate: count > 2, goldrush_path.cpp:616); stride=1
+            # keeps the exact reference gate
+            frame_stride=S, vote_min=2 // S if S == 1 else max(1, 2 // S),
+            probe_seeds=cfg.probe_seeds, slot_map=cfg.slot_map)
         # insertion is always full-resolution regardless of the query stride
         self.params_full = dataclasses.replace(
             self.params, frame_stride=1, vote_min=2, threshold=cfg.threshold,
@@ -113,16 +117,38 @@ class GoldenPathEngine:
         self.compressed = cfg.mibf_mode == "compressed"
         self.cstate = None        # CompressedState after freeze
         self.state = dm.init_state(self.params)
+        # multi-device execution (cfg.devices > 1): batch classification is
+        # data-parallel over the mesh, the miBF replicated (every device
+        # computes the identical insert — no sync traffic), the recruit scan
+        # sequential on replicated rows.  The TPU-native analog of the
+        # reference's -j thread scaling (goldrush_path.cpp:1101-1103).
+        self.mesh = None
+        self._shard_data = self._shard_repl = None
+        if cfg.devices > 1:
+            from ..parallel.mesh import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+            self.mesh = make_mesh(cfg.devices, data=cfg.devices, model=1)
+            self._shard_data = NamedSharding(self.mesh,
+                                             PartitionSpec("data"))
+            self._shard_repl = NamedSharding(self.mesh, PartitionSpec())
+        # -f: read names to exclude from pass 2 (pass 1 still inserts their
+        # presence bits — goldrush_path.cpp:1163-1170 loads the set, only
+        # process_read consults it)
         self.filter_out: set[str] = set()
+        if cfg.filter_file:
+            import sys
+            print(f"Using only reads not found in: {cfg.filter_file}",
+                  file=sys.stderr)
+            with open(cfg.filter_file) as f:
+                self.filter_out.update(f.read().split())
         self.phred_min = cfg.phred_min
         self.stats = EngineStats()
         self.writers: list[fastq.PathWriter] = []
-        self._fill_fn = jax.jit(
-            dm.fill_presence, static_argnames=("size",),
-            donate_argnums=(0,))
+        self._fill_fn = {}
         self._insert_fn = {}
         self._classify_fn = {}
         self._full_slots_fn = {}
+        self._consume_fn = {}
 
     # ------------------------------------------------------------------
     def _phred_gate_block(self, block):
@@ -164,15 +190,40 @@ class GoldenPathEngine:
         t0 = time.time()
         st = self.stats
         if self.compressed:
-            from ..mibf import compressed as cz
-            presence = jnp.zeros(self.params.size + 1, dtype=jnp.uint8)
-            fill_fn = jax.jit(cz.fill_bytes, static_argnames=("size",),
-                              donate_argnums=(0,))
-            words = presence
+            words = jnp.zeros(self.params.size + 1, dtype=jnp.uint8)
         else:
-            fill_fn = self._fill_fn
             words = self.state.words
         spans = self.params.spans
+
+        def fill_for(P):
+            """Fused hash+scatter executable per padded length (hashing on
+            device inside the same jit; data-parallel over the mesh when
+            cfg.devices > 1 — every device scatters into its replica)."""
+            if P in self._fill_fn:
+                return self._fill_fn[P]
+            size, mode, fam = self.params.size, self.cfg.slot_map, self.fam
+            idx_dtype = self.params.idx_dtype
+            if self.compressed:
+                from ..mibf import compressed as cz
+
+                def step(words, codes, valid):
+                    hashes = hash_positions(codes, fam, P)
+                    return cz.fill_bytes(words, hashes, valid, size, mode)
+            else:
+                def step(words, codes, valid):
+                    hashes = hash_positions(codes, fam, P)
+                    return dm.fill_presence(words, hashes, valid, size,
+                                            idx_dtype, mode)
+            if self.mesh is None:
+                fn = jax.jit(step, donate_argnums=(0,))
+            else:
+                fn = jax.jit(step, donate_argnums=(0,),
+                             in_shardings=(self._shard_repl,
+                                           self._shard_data,
+                                           self._shard_data),
+                             out_shardings=self._shard_repl)
+            self._fill_fn[P] = fn
+            return fn
         for block in fastq.read_blocks(path):
             st.num_reads += len(block)
             keep = []
@@ -218,9 +269,7 @@ class GoldenPathEngine:
                     codes[j, : len(c)] = c
                     for s, span in enumerate(spans):
                         valid[j, s, : max(len(c) - span + 1, 0)] = True
-                hashes = hash_positions(codes, self.fam, P)
-                words = fill_fn(words, hashes, jnp.asarray(valid),
-                                self.params.size)
+                words = fill_for(P)(words, codes, jnp.asarray(valid))
         if st.num_passed_reads == 0:
             raise RuntimeError(
                 "no reads passed the Phred score and min length requirements")
@@ -321,21 +370,27 @@ class GoldenPathEngine:
         """Fused per-batch executable: batched classify vs the batch-start
         filter, then an exact sequential consume scan over the batch.
 
-        Drop-classified reads skip the scan body (recruited regions only
-        strengthen later queries, so a stale drop stays a drop — the same
-        monotonicity the optimistic host loop relied on); candidates are
-        re-classified inside the scan against the LIVE carried state and
-        recruited/rotated on device.  One dispatch + one [B, 10] fetch per
-        batch replaces per-recruit host round-trips (each a full tunnel/PCIe
-        round-trip plus a multi-GB state copy without donation)."""
+        While the filter state is unchanged since batch start, the batched
+        classification IS the sequential result, so those reads skip the scan
+        body.  From the first in-scan state change (an insert or a silver
+        reset) onward, EVERY read is re-classified against the LIVE carried
+        state — a stale "drop" is NOT monotone (same-batch recruits can turn
+        a failing flank check into an accepted trim, and a silver reset
+        invalidates every stale vote), so the re-check cannot be limited to
+        stale candidates.  One dispatch + one [B, 10] fetch per batch
+        replaces per-recruit host round-trips (each a full tunnel/PCIe
+        round-trip plus a multi-GB state copy without donation); batches with
+        no recruit — the steady state — stay fully skipped."""
         key = (B, T)
         if key in self._consume_fn:
             return self._consume_fn[key]
         params, params_full = self.params, self.params_full
         fam, cfg, x_eff = self.fam, self.cfg, self.x_eff
+        mesh, repl = self.mesh, self._shard_repl
         TL, bs = params.tile_length, params.block_size
         max_blocks = -(-T // bs) + 1
         silver = bool(cfg.silver_path)
+        exact = cfg.recheck == "exact"
         target = int(cfg.target_bases())
         max_paths = int(cfg.max_paths)
         u_min, a_max = cfg.unassigned_min, cfg.assigned_max
@@ -395,11 +450,11 @@ class GoldenPathEngine:
                                        dtype=params.idx_dtype), None)
 
             def body(carry, xs):
-                filt, ids_ins, ins_bases, path_idx, done = carry
+                filt, ids_ins, ins_bases, path_idx, done, changed = carry
                 sq, ok, sf, L, n_t, dec0, na0, q0, h0, m0, ov0 = xs
 
                 def skip(op):
-                    filt, ids_ins, ins_bases, path_idx, done = op
+                    filt, ids_ins, ins_bases, path_idx, done, changed = op
                     out = jnp.stack([
                         jnp.int64(0), jnp.int64(0), jnp.int64(0),
                         na0.astype(jnp.int64), path_idx, q0, h0, m0,
@@ -407,7 +462,7 @@ class GoldenPathEngine:
                     return op, out
 
                 def full(op):
-                    filt, ids_ins, ins_bases, path_idx, done = op
+                    filt, ids_ins, ins_bases, path_idx, done, changed = op
                     v = probe(filt, sq[None], ok[None])
                     r = classify(v, n_t[None])
                     dec = jnp.where(done != 0, 0, r.decision[0])
@@ -440,6 +495,12 @@ class GoldenPathEngine:
                     filt = jax.lax.cond(do_reset, reset, lambda f: f, filt)
                     ids_ins = jnp.where(do_reset, 0, ids_ins)
                     ins_bases = jnp.where(do_reset, 0, ins_bases)
+                    if exact:
+                        changed = changed | (dec > 0)
+                    else:
+                        # optimistic: stale drops stay dropped, but a silver
+                        # reset always invalidates the rest of the batch
+                        changed = changed | do_reset
                     out = jnp.stack([
                         dec.astype(jnp.int64), ts, te,
                         r.num_assigned[0].astype(jnp.int64), path_here,
@@ -448,10 +509,13 @@ class GoldenPathEngine:
                         v.misses[0].astype(jnp.int64),
                         v.overflow.sum().astype(jnp.int64),
                         jnp.int64(0)])
-                    return (filt, ids_ins, ins_bases, path_idx, done), out
+                    return (filt, ids_ins, ins_bases, path_idx, done,
+                            changed), out
 
-                return jax.lax.cond((dec0 != 0) & (done == 0), full, skip,
-                                    carry)
+                # once the state has changed since batch start, stale batch
+                # results are invalid for ALL reads — live re-check each
+                return jax.lax.cond(
+                    ((dec0 != 0) | changed) & (done == 0), full, skip, carry)
 
             xs = (slots_q, frame_ok, slots_full,
                   full_lengths.astype(jnp.int64), n_tiles,
@@ -460,13 +524,29 @@ class GoldenPathEngine:
                   votes0.hits.astype(jnp.int64),
                   votes0.misses.astype(jnp.int64),
                   votes0.overflow.sum(axis=1).astype(jnp.int64))
-            carry0 = (filt, scal0[0], scal0[1], scal0[2], scal0[3])
-            (filt, ids_ins, ins_bases, path_idx, done), out = jax.lax.scan(
+            if mesh is not None:
+                # the batched classify above ran data-parallel; replicate its
+                # outputs before the sequential scan so each scan step reads
+                # local rows instead of per-step collectives
+                xs = jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, repl), xs)
+            carry0 = (filt, scal0[0], scal0[1], scal0[2], scal0[3],
+                      jnp.bool_(False))
+            (filt, ids_ins, ins_bases, path_idx, done, _), out = jax.lax.scan(
                 body, carry0, xs)
             scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
             return filt, out, scal
 
-        self._consume_fn[key] = jax.jit(consume, donate_argnums=(0,))
+        if mesh is None:
+            self._consume_fn[key] = jax.jit(consume, donate_argnums=(0,))
+        else:
+            data, repl_ = self._shard_data, self._shard_repl
+            self._consume_fn[key] = jax.jit(
+                consume, donate_argnums=(0,),
+                # prefix pytrees: the whole filter state replicated, batch
+                # arrays sharded over the data axis
+                in_shardings=(repl_, data, data, data, repl_),
+                out_shardings=(repl_, repl_, repl_))
         return self._consume_fn[key]
 
     # ------------------------------------------------------------------
@@ -494,6 +574,9 @@ class GoldenPathEngine:
             B = len(batch)
             T = max(_bucket_for(len(r.seq) // TL, cap) for r, _ in batch)
             Bpad = max(B, cfg.batch_reads)
+            if self.mesh is not None:       # data axis must divide the batch
+                d = int(self.cfg.devices)
+                Bpad = -(-Bpad // d) * d
             Lmax = T * TL + TL
             codes = np.zeros((Bpad, Lmax), dtype=np.uint8)
             lengths = np.zeros(Bpad, dtype=np.int32)

@@ -87,10 +87,20 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
     order = ["silver", "golden", "polished", "tigmint", "ntlink", "final"]
     stop = order.index(until)
 
-    def stage_time(name, fn):
+    def stage_time(name, fn, out_path=None):
         t0 = time.time()
         out = fn()
-        _log(f"[goldrush-tpu] {name}: {time.time() - t0:.1f}s")
+        dt = time.time() - t0
+        _log(f"[goldrush-tpu] {name}: {dt:.1f}s")
+        if cfg.track_time and out_path:
+            # track_time=1 parity (bin/goldrush:116-129: GNU time -v per
+            # stage into <target>.time); in-process equivalent records wall
+            # seconds and the process peak RSS so far
+            import resource
+            peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            with open(out_path + ".time", "w") as f:
+                f.write(f"stage\t{name}\nwall_s\t{dt:.2f}\n"
+                        f"peak_rss_kb\t{peak}\n")
         return out
 
     # --- stage 1: silver paths (goldrush-path --silver_path) -------------
@@ -104,7 +114,7 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                 pc.probe_seeds = probe_seeds
                 eng = GoldenPathEngine(pc)
                 eng.run()
-            stage_time("goldrush-path (silver)", silver)
+            stage_time("goldrush-path (silver)", silver, last_silver)
         with _atomic_stage(files["silver_all"]) as tmp:
             with open(tmp, "wb") as out:
                 for f in files["silver"]:
@@ -122,21 +132,34 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
             pc.probe_seeds = probe_seeds
             eng = GoldenPathEngine(pc)
             eng.run()
-        stage_time("goldrush-path (golden)", golden)
+        stage_time("goldrush-path (golden)", golden, files["golden"])
     if stop <= order.index("golden"):
         return {"golden": files["golden"]}
 
-    # --- stage 3: polish (GoldPolish equivalent) --------------------------
+    # --- stage 3: polish (GoldPolish equivalent, or racon-equivalent when
+    # polisher=racon — bin/goldrush:262-277) ------------------------------
     if not os.path.exists(files["polished"]):
         def do_polish():
             contigs = _read_fasta(files["golden"])
             reads = _load_reads(reads_file)
-            pp = polish.PolishParams(k=min(32, cfg.polish_k))
-            out, edits = polish.run_polish(contigs, reads, pp)
+            if cfg.polisher == "racon":
+                from .stages import racon
+                out, edits = racon.polish_with_racon(contigs, reads)
+            else:
+                # polisher_mapper picks the read->goldtig assignment mapping
+                # (goldpolish --minimap2 vs --ntlink --k-ntlink
+                # $(polish_k) --w-ntlink $(polish_w), bin/goldrush:35-41)
+                if cfg.polisher_mapper == "ntlink":
+                    mk, mw = min(32, cfg.polish_k), cfg.polish_w
+                else:
+                    mk, mw = 15, 10
+                pp = polish.PolishParams(k=min(32, cfg.polish_k))
+                out, edits = polish.run_polish(contigs, reads, pp,
+                                               mapper_k=mk, mapper_w=mw)
             with _atomic_stage(files["polished"]) as tmp:
                 fastq.write_fasta(tmp, out)
             _log(f"[goldrush-tpu] polish edits: {edits}")
-        stage_time("polish", do_polish)
+        stage_time("polish", do_polish, files["polished"])
     if stop <= order.index("polished"):
         return {"polished": files["polished"]}
 
@@ -151,7 +174,7 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
             out = tigmint.run_tigmint(contigs, reads, tp)
             with _atomic_stage(files["tigmint"]) as tmp:
                 fastq.write_fasta(tmp, out)
-        stage_time("tigmint", do_tigmint)
+        stage_time("tigmint", do_tigmint, files["tigmint"])
     if stop <= order.index("tigmint"):
         return {"tigmint": files["tigmint"]}
 
@@ -169,7 +192,7 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                 fastq.write_fasta(tmp, [(s.name, s.seq) for s in scaffolds])
             with open(gaps_file, "w") as f:
                 json.dump({s.name: s.filled for s in scaffolds}, f)
-        stage_time("ntLink", do_ntlink)
+        stage_time("ntLink", do_ntlink, files["ntlink"])
     if stop <= order.index("ntlink"):
         return {"ntlink": files["ntlink"]}
 
@@ -190,7 +213,7 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
             with _atomic_stage(files["final"]) as tmp:
                 fastq.write_fasta(tmp, out)
             _log(f"[goldrush-tpu] targeted polish edits: {edits}")
-        stage_time("targeted polish", do_target)
+        stage_time("targeted polish", do_target, files["final"])
 
     lengths = [len(s) for _, s in _read_fasta(files["final"])]
     st = assembly_stats(lengths)

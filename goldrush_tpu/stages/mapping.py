@@ -43,6 +43,12 @@ def _seq_minimizers(seqs: list[bytes], k: int, w: int, batch: int = 32):
         grp = jobs[b:b + batch]
         b += batch
         L = max(max(len(c) for _, _, c in grp), k + w)
+        # pad to power-of-two length buckets and a fixed batch width: one
+        # compiled executable per bucket instead of one per distinct max
+        # length (each compile is seconds on a remote-tunnel TPU)
+        L = 1 << max(10, (L - 1).bit_length())
+        if len(grp) < batch:
+            grp = grp + [(-1, 0, np.zeros(0, np.uint8))] * (batch - len(grp))
         codes = np.zeros((len(grp), L), dtype=np.uint8)
         lens = np.zeros(len(grp), dtype=np.int64)
         for j, (_, _, c) in enumerate(grp):
@@ -51,7 +57,7 @@ def _seq_minimizers(seqs: list[bytes], k: int, w: int, batch: int = 32):
             lens[j] = len(cc)
         res = batch_minimizers(codes, lens, k, w)
         for (i, off, _), (pos, h) in zip(grp, res):
-            if len(pos):
+            if i >= 0 and len(pos):
                 out[i].append((pos + off, h))
     final = []
     for chunks in out:
@@ -92,11 +98,14 @@ class Hit:
     t_end: int
     n_anchors: int
     offset: int             # t = q + offset (fwd) / t = offset - q (rev)
+    t_anchors: np.ndarray | None = None   # anchor target positions (sorted
+    # ascending; populated when map_sequence(keep_anchors=True) — tigmint
+    # molecule splitting needs the intra-hit gap structure)
 
 
 def map_sequence(index: MinimizerIndex, q_pos: np.ndarray, q_hash: np.ndarray,
                  min_anchors: int = 4, diag_bin: int = 500,
-                 max_hits: int = 8) -> list[Hit]:
+                 max_hits: int = 8, keep_anchors: bool = False) -> list[Hit]:
     """Map one query's minimizer set against the index by diagonal voting."""
     if len(q_hash) == 0 or len(index.hashes) == 0:
         return []
@@ -130,7 +139,9 @@ def map_sequence(index: MinimizerIndex, q_pos: np.ndarray, q_hash: np.ndarray,
             off = int(np.median(diag[m]))
             hits.append(Hit(tid=t, strand=strand, q_start=qs, q_end=qe,
                             t_start=ts, t_end=te, n_anchors=int(cnt[g]),
-                            offset=off))
+                            offset=off,
+                            t_anchors=np.sort(tp[m]) if keep_anchors
+                            else None))
     # merge hits of the same (target, strand) whose diagonals are within two
     # bins — one alignment's anchors straddling a bin boundary otherwise
     # shows up as several fragments
@@ -145,6 +156,9 @@ def map_sequence(index: MinimizerIndex, q_pos: np.ndarray, q_hash: np.ndarray,
                 m.t_start = min(m.t_start, h.t_start)
                 m.t_end = max(m.t_end, h.t_end)
                 m.n_anchors += h.n_anchors
+                if keep_anchors:
+                    m.t_anchors = np.sort(
+                        np.concatenate([m.t_anchors, h.t_anchors]))
                 break
         else:
             merged.append(h)

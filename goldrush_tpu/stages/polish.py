@@ -222,13 +222,40 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
 
 
 def run_polish(contigs: list[tuple[str, bytes]], reads: list[bytes],
-               p: PolishParams | None = None) -> tuple[list[tuple[str, bytes]], int]:
+               p: PolishParams | None = None,
+               mapper_k: int | None = None, mapper_w: int = 10
+               ) -> tuple[list[tuple[str, bytes]], int]:
+    """Polish contigs against read k-mer evidence.
+
+    With mapper_k set, reads are first assigned to their best-mapping goldtig
+    and each goldtig is polished against ITS reads' k-mers only — goldpolish's
+    targeted architecture (reads mapped with --minimap2 or --ntlink,
+    bin/goldrush:35-41), which keeps cross-contig k-mers from vetoing true
+    edits.  Without it, one global table serves all contigs (alignment-free
+    fallback)."""
     p = p or PolishParams()
-    table = build_read_table(reads, p)
     out = []
     edits = 0
-    for name, seq in contigs:
-        ns, ne = polish_contig(seq, table, p)
+    if mapper_k is None:
+        table = build_read_table(reads, p)
+        for name, seq in contigs:
+            ns, ne = polish_contig(seq, table, p)
+            out.append((name, ns))
+            edits += ne
+        return out, edits
+    from . import mapping
+    index = mapping.build_index([s for _, s in contigs],
+                                [n for n, _ in contigs], mapper_k, mapper_w)
+    assigned: list[list[bytes]] = [[] for _ in contigs]
+    for read, hits in zip(reads, mapping.map_reads(index, reads)):
+        if hits:
+            assigned[hits[0].tid].append(read)
+    for (name, seq), rds in zip(contigs, assigned):
+        if rds:
+            table = build_read_table(rds, p)
+            ns, ne = polish_contig(seq, table, p)
+        else:
+            ns, ne = seq, 0            # no evidence -> leave unpolished
         out.append((name, ns))
         edits += ne
     return out, edits

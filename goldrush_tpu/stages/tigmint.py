@@ -35,12 +35,26 @@ class TigmintParams:
     min_piece: int = 1000
 
 
-def molecule_intervals(hits: list[mapping.Hit], anchors_by_hit=None,
-                       dist: int = 500) -> list[tuple[int, int, int]]:
-    """(tid, start, end) molecule intervals from a read's hits."""
+def molecule_intervals(hits: list[mapping.Hit], dist: int = 500, k: int = 32
+                       ) -> list[tuple[int, int, int]]:
+    """(tid, start, end) molecule intervals from a read's hits.
+
+    The reference's tigmint-long chops each read into cut-bp segments and
+    merges mapped segments closer than ``dist`` into molecules; here each
+    hit's anchor chain is split wherever the contig-coordinate gap between
+    consecutive anchors exceeds ``dist`` — the same "evidence continuity"
+    contract (an unanchored stretch > dist ends the molecule)."""
     out = []
     for h in hits:
-        out.append((h.tid, h.t_start, h.t_end))
+        if h.t_anchors is None or len(h.t_anchors) == 0:
+            out.append((h.tid, h.t_start, h.t_end))
+            continue
+        tps = h.t_anchors
+        breaks = np.nonzero(np.diff(tps) > dist)[0]
+        seg_start = 0
+        for b in list(breaks) + [len(tps) - 1]:
+            out.append((h.tid, int(tps[seg_start]), int(tps[b]) + k))
+            seg_start = b + 1
     return out
 
 
@@ -60,9 +74,9 @@ def run_tigmint(contigs: list[tuple[str, bytes]], reads, p: TigmintParams
         seq = r[1] if isinstance(r, tuple) else r.seq
         read_seqs.append(seq)
     all_hits = mapping.map_reads(idx, read_seqs, min_anchors=p.min_anchors,
-                                 diag_bin=p.dist)
+                                 diag_bin=p.dist, keep_anchors=True)
     for hits in all_hits:
-        for tid, ts, te in molecule_intervals(hits, dist=p.dist):
+        for tid, ts, te in molecule_intervals(hits, dist=p.dist, k=p.k):
             # molecule ends are untrusted: shrink by `cut`
             a, b = ts + p.cut, te - p.cut
             if b > a:

@@ -1,4 +1,4 @@
-"""Synthetic genome / long-read simulator for end-to-end tests."""
+"""Synthetic genome / long-read simulator (shared by tests and bench.py)."""
 
 from __future__ import annotations
 

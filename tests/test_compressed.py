@@ -7,7 +7,7 @@ import pytest
 import tests.conftest  # noqa: F401
 import jax.numpy as jnp
 
-from tests import util_synthetic as synth
+from goldrush_tpu.utils import synth
 from goldrush_tpu.config import PathConfig
 from goldrush_tpu.io import fastq
 from goldrush_tpu.mibf import compressed as cz

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 import tests.conftest  # noqa: F401
-from tests import util_synthetic as synth
+from goldrush_tpu.utils import synth
 from goldrush_tpu.config import PathConfig
 from goldrush_tpu.path.engine import GoldenPathEngine
 from goldrush_tpu.path.oracle_engine import OracleEngine
@@ -143,3 +143,55 @@ def test_silver_paths_rotation(dataset):
         assert rec.id == rid + sfx
         assert rec.seq == seq
     assert tstats.paths_completed == 2
+
+
+def test_engine_multi_device_parity(dataset, batch1_run):
+    """cfg.devices=8: the mesh-sharded engine (data-parallel classify,
+    replicated miBF, sequential recruit scan) writes a bit-identical golden
+    path and filter state vs single-device."""
+    tmp, path, genome, reads = dataset
+    teng1, _ = batch1_run
+    teng8, _ = run_tpu(tmp, path, batch=16, silver=False, devices=8)
+    got1 = recruited_from_files(str(tmp / "tpu_b1_False"), silver=False)
+    got8 = recruited_from_files(str(tmp / "tpu_b16_False"), silver=False)
+    assert [(r.id, r.seq) for r in got8] == [(r.id, r.seq) for r in got1]
+    np.testing.assert_array_equal(np.asarray(teng8.state.words),
+                                  np.asarray(teng1.state.words))
+    np.testing.assert_array_equal(np.asarray(teng8.state.counts),
+                                  np.asarray(teng1.state.counts))
+
+
+def test_filter_file_excludes_reads(dataset, tmp_path):
+    """-f: listed read names are skipped in pass 2 (but still fill presence
+    in pass 1 — goldrush_path.cpp:1163-1170)."""
+    tmp, path, genome, reads = dataset
+    teng1, _ = run_tpu(tmp_path, path, batch=8, silver=False)
+    got = recruited_from_files(str(tmp_path / "tpu_b8_False"), silver=False)
+    assert got, "baseline run recruited nothing"
+    first = got[0].id.rsplit("_", 1)[0]
+    ff = tmp_path / "exclude.txt"
+    ff.write_text(first + "\n")
+    cfg = PathConfig(input=path, silver_path=False,
+                     prefix_file=str(tmp_path / "filtered"),
+                     batch_reads=8, filter_file=str(ff), **CFG)
+    eng = GoldenPathEngine(cfg)
+    eng.run()
+    got_f = recruited_from_files(str(tmp_path / "filtered"), silver=False)
+    names = {r.id.rsplit("_", 1)[0] for r in got_f}
+    assert first not in names
+    assert got_f, "filtered run recruited nothing"
+
+
+def test_recheck_optimistic_smoke(dataset, batch1_run):
+    """recheck=optimistic runs and produces a sane golden path (recruit set
+    may drift from exact in recruit-dense phases by design)."""
+    tmp, path, genome, reads = dataset
+    run_tpu(tmp, path, batch=16, silver=False, recheck="optimistic")
+    got1 = recruited_from_files(str(tmp / "tpu_b1_False"), silver=False)
+    got = recruited_from_files(str(tmp / "tpu_b16_False"), silver=False)
+    a = {r.id for r in got1}
+    b = {r.id for r in got}
+    jacc = len(a & b) / max(len(a | b), 1)
+    assert jacc >= 0.7, jacc
+    total = sum(len(r.seq) for r in got)
+    assert 0.8 * len(genome) <= total <= 1.8 * len(genome)

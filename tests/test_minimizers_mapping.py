@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 import tests.conftest  # noqa: F401
-from tests import util_synthetic as synth
+from goldrush_tpu.utils import synth
 from goldrush_tpu.io import fastq
 from goldrush_tpu.ops.minimizers import batch_minimizers, minimizers_np
 from goldrush_tpu.stages import mapping

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 import tests.conftest  # noqa: F401
-from tests import util_synthetic as synth
+from goldrush_tpu.utils import synth
 from goldrush_tpu.io import fastq
 from goldrush_tpu.io.native_reader import native_available, read_native_blocks
 from goldrush_tpu.ops.phred import phred_stats, sum_phred

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 import tests.conftest  # noqa: F401
-from tests import util_synthetic as synth
+from goldrush_tpu.utils import synth
 from goldrush_tpu.config import PipelineConfig, stage_filenames
 from goldrush_tpu.io import fastq
 from goldrush_tpu.pipeline import run_pipeline

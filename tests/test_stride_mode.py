@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import tests.conftest  # noqa: F401
-from tests import util_synthetic as synth
+from goldrush_tpu.utils import synth
 from goldrush_tpu.config import PathConfig
 from goldrush_tpu.io import fastq
 from goldrush_tpu.path.engine import GoldenPathEngine
