@@ -31,12 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PathConfig, calc_optimal_size
-from ..io import fastq
+from ..io import fastq, ingest
 from ..mibf import mibf as dm
-from ..ops import nthash_np as nth
 from ..ops.nthash import build_seed_family, hash_positions
 from ..ops.phred import (MEDIAN_SAMPLES_NEEDED, MINIMUM_PHRED_THRESHOLD,
-                         calc_median_phred, phred_stats_block, sum_phred)
+                         calc_median_phred, sum_phred)
 from ..ops.seeds import make_seed_pattern
 from .classify import classify_batch
 
@@ -151,15 +150,6 @@ class GoldenPathEngine:
         self._consume_fn = {}
 
     # ------------------------------------------------------------------
-    def _phred_gate_block(self, block):
-        """Vectorized phred stats for a record block; returns (avg, delta)."""
-        lens = np.array([len(r.qual) for r in block], dtype=np.int64)
-        mx = max(1, int(lens.max()))
-        quals = np.zeros((len(block), mx), dtype=np.uint8)
-        for i, r in enumerate(block):
-            quals[i, : len(r.qual)] = np.frombuffer(r.qual, dtype=np.uint8)
-        return phred_stats_block(quals, lens)
-
     def calc_phred_threshold(self, path: str) -> None:
         """Auto threshold = max(10, median of first 50k passing reads)
         (goldrush_path.cpp:79-107)."""
@@ -167,16 +157,18 @@ class GoldenPathEngine:
             return
         scores = np.zeros(MEDIAN_SAMPLES_NEEDED, dtype=np.uint32)
         count = 0
-        for block in fastq.read_blocks(path):
-            block = [r for r in block if len(r.seq) >= self.cfg.min_length]
-            if not block:
-                continue
-            avg, _, _ = self._phred_gate_block(block)
-            take = min(len(block), MEDIAN_SAMPLES_NEEDED - count)
-            scores[count:count + take] = avg[:take]
-            count += take
-            if count >= MEDIAN_SAMPLES_NEEDED:
-                break
+        with ingest.ReadStream(path) as rs:
+            for block in rs:
+                block = [r for r in block
+                         if r.length >= self.cfg.min_length]
+                if not block:
+                    continue
+                take = min(len(block), MEDIAN_SAMPLES_NEEDED - count)
+                scores[count:count + take] = [r.phred_avg
+                                              for r in block[:take]]
+                count += take
+                if count >= MEDIAN_SAMPLES_NEEDED:
+                    break
         self.phred_min = max(MINIMUM_PHRED_THRESHOLD,
                              calc_median_phred(scores, count))
 
@@ -224,52 +216,54 @@ class GoldenPathEngine:
                              out_shardings=self._shard_repl)
             self._fill_fn[P] = fn
             return fn
-        for block in fastq.read_blocks(path):
-            st.num_reads += len(block)
-            keep = []
-            for r in block:
-                if len(r.seq) < self.cfg.min_length:
-                    st.skipped_length += 1
-                else:
-                    keep.append(r)
-            if not keep:
-                continue
-            avg, delta, _ = self._phred_gate_block(keep)
-            good = []
-            for i, r in enumerate(keep):
-                bad_p = avg[i] < self.phred_min
-                bad_d = delta[i] >= self.cfg.phred_delta
-                if bad_p or bad_d:
-                    st.skipped_phred += int(bad_p)
-                    st.skipped_delta += int(bad_d)
-                    self.filter_out.add(r.id)
+        # producer thread (native C++ reader when available) runs parse +
+        # encode + phred ahead of the device scatter (read_hashing.cpp
+        # producer-pool analog)
+        with ingest.ReadStream(path) as rs:
+            for block in rs:
+                st.num_reads += len(block)
+                keep = []
+                for r in block:
+                    if r.length < self.cfg.min_length:
+                        st.skipped_length += 1
+                    else:
+                        keep.append(r)
+                if not keep:
                     continue
-                codes = fastq.encode(r.seq)
-                if (codes > 3).any():
-                    st.skipped_invalid += 1
-                    self.filter_out.add(r.id)
+                good = []
+                for r in keep:
+                    bad_p = r.phred_avg < self.phred_min
+                    bad_d = r.phred_delta >= self.cfg.phred_delta
+                    if bad_p or bad_d:
+                        st.skipped_phred += int(bad_p)
+                        st.skipped_delta += int(bad_d)
+                        self.filter_out.add(r.id)
+                        continue
+                    if r.invalid:
+                        st.skipped_invalid += 1
+                        self.filter_out.add(r.id)
+                        continue
+                    good.append(r)
+                if not good:
                     continue
-                good.append((r, codes))
-            if not good:
-                continue
-            st.num_passed_reads += len(good)
-            # fixed batch/length buckets keep jit shapes stable across blocks
-            FB = 64
-            good.sort(key=lambda rc: len(rc[1]))
-            i = 0
-            while i < len(good):
-                batch = good[i: i + FB]
-                i += FB
-                L = max(len(c) for _, c in batch)
-                Lb = 1 << max(10, (L - 1).bit_length())
-                P = Lb - self.params.k + 1
-                codes = np.zeros((FB, Lb), dtype=np.uint8)
-                valid = np.zeros((FB, len(spans), P), dtype=bool)
-                for j, (r, c) in enumerate(batch):
-                    codes[j, : len(c)] = c
-                    for s, span in enumerate(spans):
-                        valid[j, s, : max(len(c) - span + 1, 0)] = True
-                words = fill_for(P)(words, codes, jnp.asarray(valid))
+                st.num_passed_reads += len(good)
+                # fixed batch/length buckets keep jit shapes stable
+                FB = 64
+                good.sort(key=lambda r: r.length)
+                i = 0
+                while i < len(good):
+                    batch = good[i: i + FB]
+                    i += FB
+                    L = max(r.length for r in batch)
+                    Lb = 1 << max(10, (L - 1).bit_length())
+                    P = Lb - self.params.k + 1
+                    codes = np.zeros((FB, Lb), dtype=np.uint8)
+                    valid = np.zeros((FB, len(spans), P), dtype=bool)
+                    for j, r in enumerate(batch):
+                        codes[j, : r.length] = r.codes
+                        for s, span in enumerate(spans):
+                            valid[j, s, : max(r.length - span + 1, 0)] = True
+                    words = fill_for(P)(words, codes, jnp.asarray(valid))
         if st.num_passed_reads == 0:
             raise RuntimeError(
                 "no reads passed the Phred score and min length requirements")
@@ -565,14 +559,13 @@ class GoldenPathEngine:
         cap = cfg.max_tiles
 
         pending = []            # eligible reads in stream order
-        stream = fastq.read_records(path)
 
         def flush(batch):
             nonlocal inserted_bases, curr_path, ids_inserted, done
             if not batch or done:
                 return
             B = len(batch)
-            T = max(_bucket_for(len(r.seq) // TL, cap) for r, _ in batch)
+            T = max(_bucket_for(r.length // TL, cap) for r in batch)
             Bpad = max(B, cfg.batch_reads)
             if self.mesh is not None:       # data axis must divide the batch
                 d = int(self.cfg.devices)
@@ -580,15 +573,14 @@ class GoldenPathEngine:
             Lmax = T * TL + TL
             codes = np.zeros((Bpad, Lmax), dtype=np.uint8)
             lengths = np.zeros(Bpad, dtype=np.int32)
-            for i, (r, c) in enumerate(batch):
-                L = min(len(c), Lmax)
-                codes[i, :L] = c[:L]
+            full_lengths = np.zeros(Bpad, dtype=np.int64)
+            for i, r in enumerate(batch):
+                L = min(r.length, Lmax)
+                codes[i, :L] = r.codes[:L]
                 # cap tiles at the bucket limit (reads longer than
                 # max_tiles*TL tiles are classified on the first cap tiles)
-                lengths[i] = min(len(c), T * TL + TL - 1)
-            full_lengths = np.zeros(Bpad, dtype=np.int64)
-            for i, (r, c) in enumerate(batch):
-                full_lengths[i] = len(r.seq)
+                lengths[i] = min(r.length, T * TL + TL - 1)
+                full_lengths[i] = r.length
             fn = self._consume_for(Bpad, T)
             scal0 = jnp.asarray([ids_inserted, inserted_bases, curr_path,
                                  0], dtype=jnp.int64)
@@ -602,7 +594,7 @@ class GoldenPathEngine:
                 self.state = filt
             out = np.asarray(out_d)          # [Bpad, 10] single fetch
             scal = np.asarray(scal_d)
-            for i, (r, c) in enumerate(batch):
+            for i, r in enumerate(batch):
                 (dec, ts, te, na, path_i, q, h, m, ov, done_b) = (
                     int(x) for x in out[i])
                 if done_b:
@@ -619,22 +611,24 @@ class GoldenPathEngine:
                 st.assigned_tiles += na
                 st.unassigned_tiles += num_tiles - na
                 if dec == 1:        # recruited whole read
-                    self.writers[-1].write(r.id, "_untrimmed", r.seq, r.qual)
-                    inserted_bases += len(r.seq)
-                    st.inserted_bases_in_path += len(r.seq)
+                    qual = r.qual_bytes()
+                    self.writers[-1].write(r.id, "_untrimmed",
+                                           r.seq_bytes(), qual)
+                    inserted_bases += r.length
+                    st.inserted_bases_in_path += r.length
                     st.reads_in_path += 1
                     st.recruits += 1
-                    if r.qual is not None:
-                        st.phred_sum_in_path += sum_phred(
-                            np.frombuffer(r.qual, dtype=np.uint8))
+                    if qual is not None:
+                        st.phred_sum_in_path += r.phred_sum
                 elif dec == 2:      # recruited trimmed
+                    rseq, rqual = r.seq_bytes(), r.qual_bytes()
                     if te == num_tiles - 1:
-                        seq = r.seq[ts * TL:]
-                        qual = r.qual[ts * TL:] if r.qual else None
+                        seq = rseq[ts * TL:]
+                        qual = rqual[ts * TL:] if rqual else None
                     else:
                         end = ts * TL + (te - ts + 1) * TL
-                        seq = r.seq[ts * TL:end]
-                        qual = r.qual[ts * TL:end] if r.qual else None
+                        seq = rseq[ts * TL:end]
+                        qual = rqual[ts * TL:end] if rqual else None
                     self.writers[-1].write(r.id, "_trimmed", seq, qual)
                     inserted_bases += len(seq)
                     st.inserted_bases_in_path += len(seq)
@@ -668,15 +662,17 @@ class GoldenPathEngine:
             assert curr_path == int(scal[2]) or done, \
                 (curr_path, int(scal[2]))
 
-        for rec in stream:
-            if done:
-                break
-            if len(rec.seq) < cfg.min_length or rec.id in self.filter_out:
-                continue
-            pending.append((rec, fastq.encode(rec.seq)))
-            if len(pending) >= cfg.batch_reads:
-                flush(pending)
-                pending = []
+        with ingest.ReadStream(path) as rs:
+            for rec in rs.records():
+                if done:
+                    break
+                if rec.length < cfg.min_length or \
+                        rec.id in self.filter_out:
+                    continue
+                pending.append(rec)
+                if len(pending) >= cfg.batch_reads:
+                    flush(pending)
+                    pending = []
         if not done:
             flush(pending)
         for w in self.writers:
