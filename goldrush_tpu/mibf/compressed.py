@@ -45,11 +45,19 @@ class CompressedState(NamedTuple):
 
 def fill_bytes(presence: jax.Array, hashes: jax.Array, valid: jax.Array,
                size: int, slot_mode: str = "fastrange") -> jax.Array:
-    """Pass-1 presence into a transient byte-per-slot array."""
+    """Pass-1 presence into a transient byte-per-slot array (sorted +
+    deduped for the vectorized unique-indices scatter, see
+    mibf.fill_presence)."""
     slots = slot_of(hashes.reshape(-1), size, slot_mode)
     slots = jnp.where(valid.reshape(-1), slots, jnp.uint64(size))
-    return presence.at[slots.astype(jnp.int64)].max(jnp.uint8(1),
-                                                    mode="drop")
+    s = jax.lax.sort(slots.astype(jnp.int64))
+    prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
+    u_first = s != prev
+    dummy = (jnp.asarray(size + 1, dtype=s.dtype)
+             + jnp.arange(s.shape[0], dtype=s.dtype))
+    idx = jnp.where(u_first, s, dummy)
+    return presence.at[idx].set(jnp.uint8(1), mode="drop",
+                                unique_indices=True)
 
 
 def freeze(presence: np.ndarray | jax.Array, size: int) -> CompressedState:
@@ -230,21 +238,105 @@ def insert_read(state: CompressedState, slots: jax.Array, tile_lo: jax.Array,
         r = jax.lax.sort(r)
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=r.dtype), r[:-1]])
         u_first = (r != prev) & (r != pop_sentinel)
-        add_idx = jnp.where(u_first, r, pop_sentinel)
-        counts = counts.at[add_idx].add(u_first.astype(jnp.uint32),
-                                        mode="drop")
+        # rejected writes -> distinct out-of-bounds dummies (dropped): all
+        # indices unique, so XLA uses the vectorized scatter (see
+        # mibf.insert_read)
+        dummy = (jnp.asarray(pop_sentinel + 1, dtype=r.dtype)
+                 + jnp.arange(r.shape[0], dtype=r.dtype))
+        add_idx = jnp.where(u_first, r, dummy)
+        counts = counts.at[add_idx].add(jnp.uint32(1), mode="drop",
+                                        unique_indices=True)
         cnt = counts[r]
         rand = (r.astype(jnp.uint32) ^ block_id)
         accept = u_first & ((rand % jnp.maximum(cnt, 1)) == cnt - 1)
         old = ids_arr[r]
         new_word = (old & SAT_BIT) | block_id
-        w_idx = jnp.where(accept, r, pop_sentinel)
-        ids_arr = ids_arr.at[w_idx].set(jnp.where(accept, new_word, old),
-                                        mode="drop")
+        w_idx = jnp.where(accept, r, dummy)
+        ids_arr = ids_arr.at[w_idx].set(new_word, mode="drop",
+                                        unique_indices=True)
         return ids_arr, counts
 
     ids_arr, counts = jax.lax.fori_loop(0, max_blocks, body,
                                         (state.ids, state.counts))
+    return CompressedState(bitrank=state.bitrank, supers=state.supers,
+                           ids=ids_arr, counts=counts)
+
+
+def build_insert_keys(state: CompressedState, slots: jax.Array,
+                      params: MibfParams, num_tiles: int) -> jax.Array:
+    """Rank-domain twin of mibf.build_insert_keys: map the full-res slot
+    grid to ranks once, pack (rank, tile) sort keys, sort."""
+    from .mibf import TILE_BITS
+    H, TF = slots.shape[-2], slots.shape[-1]
+    F = TF // num_tiles
+    pop_sentinel = state.ids.shape[0] - 1
+    present, ranks = _rank_lookup(state, slots, params.size)
+    ranks = jnp.where(present, ranks, pop_sentinel)
+    t_of = (jnp.arange(TF, dtype=jnp.int32) // F).astype(jnp.uint64)
+    keys = (ranks.astype(jnp.uint64) << jnp.uint64(TILE_BITS)) | t_of
+    return jax.lax.sort(keys.reshape(*slots.shape[:-2], H * TF),
+                        dimension=-1)
+
+
+@partial(jax.jit, static_argnames=("params", "num_tiles", "assume_present"))
+def insert_read_sorted(state: CompressedState, keys: jax.Array,
+                       tile_lo: jax.Array, tile_hi: jax.Array,
+                       base_id: jax.Array, trimmed: jax.Array,
+                       active: jax.Array, params: MibfParams,
+                       num_tiles: int,
+                       assume_present: bool = False) -> CompressedState:
+    """One-pass sorted-key insert on rank-indexed arrays (see
+    mibf.insert_read_sorted for the algorithm and the in-place scatter
+    discipline; accept rule keys on the rank like the reference,
+    MIBFConstructSupport.hpp:275).  ``assume_present=True`` writes the
+    block id without reading the old entry (saturation is never set by
+    goldrush-path)."""
+    from .mibf import TILE_BITS
+    N = keys.shape[0]
+    bs = params.block_size
+    pop_sentinel = state.ids.shape[0] - 1
+    r = (keys >> jnp.uint64(TILE_BITS)).astype(jnp.int64)
+    t = (keys & jnp.uint64((1 << TILE_BITS) - 1)).astype(jnp.int32)
+    valid = (r < pop_sentinel) & (t >= tile_lo) & (t <= tile_hi) & active
+    m = jnp.where(valid, (t - tile_lo) // bs, 0)
+    block_id = jnp.where(
+        trimmed, base_id + ((m * bs + 1) // bs).astype(jnp.uint32),
+        base_id + m.astype(jnp.uint32))
+    prev_valid = jnp.concatenate([jnp.zeros(1, bool), valid[:-1]])
+    prev_r = jnp.concatenate([jnp.full(1, -1, jnp.int64), r[:-1]])
+    prev_m = jnp.concatenate([jnp.full(1, -1, jnp.int32), m[:-1]])
+    new_run = valid & (~prev_valid | (prev_r != r))
+    u_first = new_run | (valid & (prev_m != m))
+    run_end = valid & jnp.concatenate(
+        [~valid[1:] | (r[1:] != r[:-1]), jnp.ones(1, bool)])
+    c = jnp.cumsum(u_first.astype(jnp.int32))
+    run_base = jax.lax.cummax(jnp.where(new_run, c - 1, jnp.int32(-1)))
+    j = jnp.where(valid, c - run_base, 0)
+    BIG = jnp.int64(N + 2)
+    fseg = jnp.cumsum(jnp.flip(run_end).astype(jnp.int64))
+    c_end = jnp.flip(jax.lax.cummax(fseg * BIG + jnp.flip(c)) - fseg * BIG)
+    j_total = jnp.where(valid, c_end - run_base, 0)
+    ids_arr, counts = state.ids, state.counts
+    gather_idx = jnp.where(valid, r, pop_sentinel)
+    idx = jnp.arange(N, dtype=jnp.int64)
+    dummy = jnp.int64(pop_sentinel + 1) + idx
+    c_idx = jnp.where(run_end, r, dummy)
+    counts = counts.at[c_idx].add(j_total.astype(jnp.uint32), mode="drop",
+                                  unique_indices=True)
+    post = counts[gather_idx]
+    cnt = post - j_total.astype(jnp.uint32) + j.astype(jnp.uint32)
+    rand = r.astype(jnp.uint32) ^ block_id
+    accept = u_first & ((rand % jnp.maximum(cnt, 1)) == cnt - 1)
+    enc = fseg * BIG + jnp.flip(jnp.where(accept, idx + 1, 0))
+    smax = jnp.flip(jax.lax.cummax(enc) - fseg * BIG) - 1
+    is_last = accept & (smax == idx)
+    w_idx = jnp.where(is_last, r, dummy)
+    if assume_present:
+        new_word = block_id
+    else:
+        new_word = (ids_arr[gather_idx] & SAT_BIT) | block_id
+    ids_arr = ids_arr.at[w_idx].set(new_word, mode="drop",
+                                    unique_indices=True)
     return CompressedState(bitrank=state.bitrank, supers=state.supers,
                            ids=ids_arr, counts=counts)
 

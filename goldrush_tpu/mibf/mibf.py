@@ -115,11 +115,22 @@ def fill_presence(words: jax.Array, hashes: jax.Array, valid: jax.Array,
                   size: int, idx_dtype=jnp.int32,
                   slot_mode: str = "fastrange") -> jax.Array:
     """Pass-1 presence fill (MIBFConstructSupport.hpp:134-147): set the
-    presence bit for every valid hash's slot."""
+    presence bit for every valid hash's slot.
+
+    Slots are sorted + deduped first so the scatter has provably unique
+    indices — XLA's vectorized scatter path instead of the serialized
+    general one (duplicate slots are the common case: every repeated k-mer
+    in the batch hits the same slots)."""
     slots = slot_of(hashes.reshape(-1), size, slot_mode)
     slots = jnp.where(valid.reshape(-1), slots, jnp.uint64(size))
-    return words.at[slots.astype(idx_dtype)].max(
-        jnp.uint32(PRESENT_BIT), mode="drop")
+    s = jax.lax.sort(slots.astype(idx_dtype))
+    prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
+    u_first = s != prev
+    dummy = (jnp.asarray(size + 1, dtype=s.dtype)
+             + jnp.arange(s.shape[0], dtype=s.dtype))
+    idx = jnp.where(u_first, s, dummy)
+    return words.at[idx].set(jnp.uint32(PRESENT_BIT), mode="drop",
+                             unique_indices=True)
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +457,13 @@ def insert_read(state: MibfState, slots: jax.Array, tile_lo: jax.Array,
     bs = params.block_size
     W = min(bs, T) * F          # static per-block window (frames)
     sentinel = jnp.asarray(params.size, dtype=slots.dtype)
+    # rejected writes route to DISTINCT out-of-bounds dummy indices: with
+    # mode="drop" they vanish, and because every index in the scatter is
+    # then globally unique, XLA takes the vectorized unique-indices scatter
+    # path instead of the serialized general scatter (~50 ms -> ~1 ms per
+    # insert at production filter sizes)
+    dummy = (jnp.asarray(params.size + 1, dtype=slots.dtype)
+             + jnp.arange(H * W, dtype=slots.dtype))
     words0, counts0 = state
 
     def body(m, carry):
@@ -469,24 +487,133 @@ def insert_read(state: MibfState, slots: jax.Array, tile_lo: jax.Array,
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
         u_first = (s != prev) & (s != sentinel)
         # per-slot counter bump (each unique slot exactly once)
-        add_idx = jnp.where(u_first, s, sentinel)
-        counts = counts.at[add_idx].add(u_first.astype(jnp.uint32),
-                                        mode="drop")
+        add_idx = jnp.where(u_first, s, dummy)
+        counts = counts.at[add_idx].add(jnp.uint32(1), mode="drop",
+                                        unique_indices=True)
         cnt = counts[s]                       # post-increment value
         rand = (s.astype(jnp.uint32) ^ block_id)
         accept = u_first & ((rand % jnp.maximum(cnt, 1)) == cnt - 1)
         old = words[s]
         new_word = (old & (SAT_BIT | PRESENT_BIT)) | block_id
-        w_idx = jnp.where(accept, s, sentinel)
-        words = words.at[w_idx].set(jnp.where(accept, new_word, old),
-                                    mode="drop")
+        w_idx = jnp.where(accept, s, dummy)
+        words = words.at[w_idx].set(new_word, mode="drop",
+                                    unique_indices=True)
         # blocks past tile_hi are natural no-ops: in_block is empty, so every
-        # element routes to the sentinel slot
+        # element routes to a dropped dummy index
         return words, counts
 
     # number of blocks actually needed is data-dependent; loop the static
     # maximum and no-op past the end (guarded by `active` above)
     words, counts = jax.lax.fori_loop(0, max_blocks, body, (words0, counts0))
+    return MibfState(words=words, counts=counts)
+
+
+TILE_BITS = 16      # tile index bits packed into the low end of a sort key
+
+
+def build_insert_keys(slots: jax.Array, num_tiles: int) -> jax.Array:
+    """Pack a read's full-res probe grid into sorted (slot, tile) keys.
+
+    slots: [..., H, T*F] (sentinel-padded).  Key = slot << 16 | tile, sorted
+    ascending along the flattened (H, T*F) axis — the whole per-read sort the
+    sequential insert needs, done once and batched, so the per-read scan step
+    reduces to segment ops over an already-sorted array."""
+    H, TF = slots.shape[-2], slots.shape[-1]
+    F = TF // num_tiles
+    t_of = (jnp.arange(TF, dtype=jnp.int32) // F).astype(jnp.uint64)
+    keys = (slots.astype(jnp.uint64) << jnp.uint64(TILE_BITS)) | t_of
+    return jax.lax.sort(keys.reshape(*slots.shape[:-2], H * TF),
+                        dimension=-1)
+
+
+@partial(jax.jit, static_argnames=("params", "num_tiles", "assume_present"))
+def insert_read_sorted(state: MibfState, keys: jax.Array, tile_lo: jax.Array,
+                       tile_hi: jax.Array, base_id: jax.Array,
+                       trimmed: jax.Array, active: jax.Array,
+                       params: MibfParams, num_tiles: int,
+                       assume_present: bool = False) -> MibfState:
+    """One-pass equivalent of insert_read on presorted (slot, tile) keys.
+
+    Replaces the sequential per-block fori_loop (which forces XLA to copy
+    the filter arrays every iteration) with segment ops over the sorted
+    keys: for every (slot, block) pair the rank j of the block within the
+    slot's run gives the exact post-increment reservoir counter the
+    sequential insert would have seen (cnt = counts[slot] + j), the accept
+    rule is evaluated per pair, and the LAST accepting block in sequential
+    order wins the slot — bit-identical to block-by-block insertion
+    (MIBFConstructSupport.hpp:247-283 semantics, process_read block loop
+    goldrush_path.cpp:983-994/1041-1053).  ``active=False`` masks the whole
+    insert (used after a silver rotation inside a batch).
+
+    Written to mutate the state IN PLACE inside a scan carry: exactly two
+    scatters (counts, words), both with provably unique indices, and no
+    gather of a carried buffer ever precedes a scatter to it — counts are
+    scatter-added first and the post-values gathered back (cnt = post -
+    J_total + j), so XLA's copy-insertion sees only true dependencies.
+    ``assume_present=True`` (the engine's pass-2 path) writes
+    PRESENT | id without reading the old word: every slot the engine
+    inserts was presence-filled in pass 1, and goldrush-path never sets
+    the saturation bit (setSatIfMissing is never called — C9 in SURVEY
+    §2); the generic path gathers the old bits like the reference.
+    """
+    N = keys.shape[0]
+    bs = params.block_size
+    size = params.size
+    idx_dtype = params.idx_dtype
+    slot = (keys >> jnp.uint64(TILE_BITS)).astype(idx_dtype)
+    t = (keys & jnp.uint64((1 << TILE_BITS) - 1)).astype(jnp.int32)
+    valid = (slot < jnp.asarray(size, idx_dtype)) & (t >= tile_lo) & \
+        (t <= tile_hi) & active
+    m = jnp.where(valid, (t - tile_lo) // bs, 0)
+    block_id = jnp.where(
+        trimmed, base_id + ((m * bs + 1) // bs).astype(jnp.uint32),
+        base_id + m.astype(jnp.uint32))
+    prev_valid = jnp.concatenate([jnp.zeros(1, bool), valid[:-1]])
+    prev_slot = jnp.concatenate([jnp.full(1, -1, idx_dtype), slot[:-1]])
+    prev_m = jnp.concatenate([jnp.full(1, -1, jnp.int32), m[:-1]])
+    new_run = valid & (~prev_valid | (prev_slot != slot))
+    u_first = new_run | (valid & (prev_m != m))
+    run_end = valid & jnp.concatenate(
+        [~valid[1:] | (slot[1:] != slot[:-1]), jnp.ones(1, bool)])
+    # rank of the distinct block within its slot run (segmented cumsum)
+    c = jnp.cumsum(u_first.astype(jnp.int32))
+    run_base = jax.lax.cummax(
+        jnp.where(new_run, c - 1, jnp.int32(-1)))
+    j = jnp.where(valid, c - run_base, 0)
+    # per-run total distinct blocks, broadcast to every element: suffix
+    # segment-max of c (c is non-decreasing, so the run-end value is the
+    # max), via a prefix cummax over the flipped array with segment resets
+    # encoded into the key (enc strictly increases across segment starts,
+    # so the running max never leaks across runs)
+    BIG = jnp.int64(N + 2)
+    fseg = jnp.cumsum(jnp.flip(run_end).astype(jnp.int64))
+    c_end = jnp.flip(jax.lax.cummax(fseg * BIG + jnp.flip(c)) - fseg * BIG)
+    j_total = jnp.where(valid, c_end - run_base, 0)
+    words, counts = state
+    gather_idx = jnp.where(valid, slot, jnp.asarray(size, idx_dtype))
+    dummy = (jnp.asarray(size + 1, idx_dtype)
+             + jnp.arange(N, dtype=idx_dtype))
+    # counts: scatter-add the run totals FIRST, then gather the post values
+    # back — the gather depends on the scatter (no anti-dependency copy) and
+    # the pre-value every block saw is reconstructed as post - J_total + j
+    c_idx = jnp.where(run_end, slot, dummy)
+    counts = counts.at[c_idx].add(j_total.astype(jnp.uint32), mode="drop",
+                                  unique_indices=True)
+    post = counts[gather_idx]
+    cnt = post - j_total.astype(jnp.uint32) + j.astype(jnp.uint32)
+    rand = slot.astype(jnp.uint32) ^ block_id
+    accept = u_first & ((rand % jnp.maximum(cnt, 1)) == cnt - 1)
+    # last accepting block per slot run wins the write (sequential order)
+    idx = jnp.arange(N, dtype=jnp.int64)
+    enc = fseg * BIG + jnp.flip(jnp.where(accept, idx + 1, 0))
+    smax = jnp.flip(jax.lax.cummax(enc) - fseg * BIG) - 1
+    is_last = accept & (smax == idx)
+    w_idx = jnp.where(is_last, slot, dummy)
+    if assume_present:
+        new_word = PRESENT_BIT | block_id
+    else:
+        new_word = (words[gather_idx] & (SAT_BIT | PRESENT_BIT)) | block_id
+    words = words.at[w_idx].set(new_word, mode="drop", unique_indices=True)
     return MibfState(words=words, counts=counts)
 
 

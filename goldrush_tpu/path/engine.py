@@ -148,6 +148,7 @@ class GoldenPathEngine:
         self._classify_fn = {}
         self._full_slots_fn = {}
         self._consume_fn = {}
+        self._reset_fn = None
 
     # ------------------------------------------------------------------
     def calc_phred_threshold(self, path: str) -> None:
@@ -360,21 +361,46 @@ class GoldenPathEngine:
             self.state = self._insert_fn[key](self.state, *args)
 
     # ------------------------------------------------------------------
-    def _consume_for(self, B, T):
-        """Fused per-batch executable: batched classify vs the batch-start
-        filter, then an exact sequential consume scan over the batch.
+    def _reset_state(self) -> None:
+        """Silver-path rotation reset (goldrush_path.cpp:156-187): zero IDs
+        and counters, keep presence; one donated device dispatch."""
+        if self._reset_fn is None:
+            if self.compressed:
+                from ..mibf import compressed as cz
+                self._reset_fn = jax.jit(cz.reset_ids, donate_argnums=(0,))
+            else:
+                self._reset_fn = jax.jit(dm.reset_ids, donate_argnums=(0,))
+        if self.compressed:
+            self.cstate = self._reset_fn(self.cstate)
+        else:
+            self.state = self._reset_fn(self.state)
 
-        While the filter state is unchanged since batch start, the batched
-        classification IS the sequential result, so those reads skip the scan
-        body.  From the first in-scan state change (an insert or a silver
-        reset) onward, EVERY read is re-classified against the LIVE carried
-        state — a stale "drop" is NOT monotone (same-batch recruits can turn
-        a failing flank check into an accepted trim, and a silver reset
-        invalidates every stale vote), so the re-check cannot be limited to
-        stale candidates.  One dispatch + one [B, 10] fetch per batch
-        replaces per-recruit host round-trips (each a full tunnel/PCIe
-        round-trip plus a multi-GB state copy without donation); batches with
-        no recruit — the steady state — stay fully skipped."""
+    # ------------------------------------------------------------------
+    def _consume_for(self, B, T):
+        """Fused per-batch executable: batched classify + grid/sort prep,
+        then an exact sequential consume scan over the batch.
+
+        The scan is structured so the (multi-GB) filter state never crosses
+        a lax.cond boundary — conds on big carried buffers force XLA to
+        copy them every step (~2 ms/step at production sizes):
+
+          * each step re-probes the LIVE state and classifies, via a cond
+            whose outputs are only the small per-read decision tuple (the
+            filter is a read-only operand); while the state is unchanged
+            since batch start the step reuses the batched classification,
+          * insertion ALWAYS runs as a masked one-pass sorted-key scatter
+            (dm.insert_read_sorted) — a non-recruit masks every write to a
+            dropped dummy index, so the carried arrays are mutated purely
+            in place,
+          * a silver rotation sets a `rotated` flag and leaves the rest of
+            the batch unprocessed; the host resets the filter (one donated
+            dispatch) and resubmits the remaining reads.
+
+        Staleness policy (cfg.recheck): "exact" re-probes every read from
+        the first in-batch state change onward — bit-exact sequential at ANY
+        batch size (proven vs the compiled reference in test_ref_parity);
+        "optimistic" re-probes only stale candidates (a stale "drop" stays
+        dropped — rare drift in recruit-dense phases)."""
         key = (B, T)
         if key in self._consume_fn:
             return self._consume_fn[key]
@@ -382,11 +408,9 @@ class GoldenPathEngine:
         fam, cfg, x_eff = self.fam, self.cfg, self.x_eff
         mesh, repl = self.mesh, self._shard_repl
         TL, bs = params.tile_length, params.block_size
-        max_blocks = -(-T // bs) + 1
         silver = bool(cfg.silver_path)
         exact = cfg.recheck == "exact"
         target = int(cfg.target_bases())
-        max_paths = int(cfg.max_paths)
         u_min, a_max = cfg.unassigned_min, cfg.assigned_max
         if self.compressed:
             from ..mibf import compressed as cz
@@ -394,25 +418,41 @@ class GoldenPathEngine:
             def probe(filt, s, ok):
                 return cz.probe_and_vote(filt, s, ok, params, num_tiles=T)
 
-            def insert(filt, sf, lo, hi, base, trimmed):
-                return cz.insert_read(filt, sf, lo, hi, base, trimmed,
-                                      params_full, max_blocks=max_blocks,
-                                      num_tiles=T)
+            def build_keys(filt, codes, lengths, slots_q):
+                if params.frame_stride == 1:
+                    g = slots_q
+                else:
+                    g, _ = dm.build_slot_grid(codes, lengths, fam,
+                                              params_full, T)
+                return cz.build_insert_keys(filt, g, params_full, T)
 
-            def reset(filt):
-                return cz.reset_ids(filt)
+            def insert(filt, kz, lo, hi, base, trimmed, active):
+                # every engine-inserted rank was presence-filled in pass 1
+                # and saturation is never set -> skip the old-entry gather
+                return cz.insert_read_sorted(filt, kz, lo, hi, base,
+                                             trimmed, active, params_full,
+                                             num_tiles=T,
+                                             assume_present=True)
         else:
             def probe(filt, s, ok):
                 return dm.probe_and_vote(filt.words, s, ok, params,
                                          num_tiles=T)
 
-            def insert(filt, sf, lo, hi, base, trimmed):
-                return dm.insert_read(filt, sf, lo, hi, base, trimmed,
-                                      params_full, max_blocks=max_blocks,
-                                      num_tiles=T)
+            def build_keys(filt, codes, lengths, slots_q):
+                if params.frame_stride == 1:
+                    g = slots_q
+                else:
+                    g, _ = dm.build_slot_grid(codes, lengths, fam,
+                                              params_full, T)
+                return dm.build_insert_keys(g, T)
 
-            def reset(filt):
-                return dm.reset_ids(filt)
+            def insert(filt, kz, lo, hi, base, trimmed, active):
+                # every engine-inserted slot was presence-filled in pass 1
+                # and saturation is never set -> skip the old-word gather
+                return dm.insert_read_sorted(filt, kz, lo, hi, base,
+                                             trimmed, active, params_full,
+                                             num_tiles=T,
+                                             assume_present=True)
 
         def classify(votes, n_tiles):
             return classify_batch(votes.curr_id, votes.top_count,
@@ -420,7 +460,7 @@ class GoldenPathEngine:
                                   n_tiles, x_eff, u_min, a_max)
 
         def consume(filt, codes, lengths, full_lengths, scal0):
-            # scal0: int64 [4] = ids_inserted, inserted_bases, path_idx, done
+            # scal0: int64 [2] = ids_inserted, inserted_bases
             # lengths are bucket-capped for the probe grid; full_lengths are
             # the true read lengths, used for inserted-base accounting
             # (process_read adds the whole read, goldrush_path.cpp:996-1000)
@@ -429,91 +469,67 @@ class GoldenPathEngine:
                                                    params, T)
             votes0 = probe(filt, slots_q, frame_ok)
             res0 = classify(votes0, n_tiles)
-            if params.frame_stride == 1:
-                slots_full = slots_q
-            else:
-                # dense insert grid, built only if the batch has a candidate
-                def mk_dense(_):
-                    g, _ok = dm.build_slot_grid(codes, lengths, fam,
-                                                params_full, T)
-                    return g
-
-                slots_full = jax.lax.cond(
-                    (res0.decision != 0).any(), mk_dense,
-                    lambda _: jnp.full((B, params.h, T * TL), params.size,
-                                       dtype=params.idx_dtype), None)
+            keys = build_keys(filt, codes, lengths, slots_q)
 
             def body(carry, xs):
-                filt, ids_ins, ins_bases, path_idx, done, changed = carry
-                sq, ok, sf, L, n_t, dec0, na0, q0, h0, m0, ov0 = xs
+                filt, ids_ins, ins_bases, rotated, changed = carry
+                (sq, ok, kz, L, n_t, dec0, ts0, te0, na0,
+                 q0, h0, m0, ov0) = xs
+                live = changed & ~rotated
+                if not exact:
+                    # optimistic: a read the stale batch classified "drop"
+                    # stays dropped; only candidates re-probe live
+                    live = live & (dec0 != 0)
 
-                def skip(op):
-                    filt, ids_ins, ins_bases, path_idx, done, changed = op
-                    out = jnp.stack([
-                        jnp.int64(0), jnp.int64(0), jnp.int64(0),
-                        na0.astype(jnp.int64), path_idx, q0, h0, m0,
-                        ov0.astype(jnp.int64), done.astype(jnp.int64)])
-                    return op, out
-
-                def full(op):
-                    filt, ids_ins, ins_bases, path_idx, done, changed = op
+                def use_live(_):
                     v = probe(filt, sq[None], ok[None])
                     r = classify(v, n_t[None])
-                    dec = jnp.where(done != 0, 0, r.decision[0])
-                    ts = r.trim_start[0].astype(jnp.int64)
-                    te = r.trim_end[0].astype(jnp.int64)
-                    l_trim = jnp.where(te == n_t.astype(jnp.int64) - 1,
-                                       L - ts * TL, (te - ts + 1) * TL)
-                    rec_len = jnp.where(dec == 1, L,
-                                        jnp.where(dec == 2, l_trim, 0))
-                    lo = jnp.where(dec == 1, 0,
-                                   jnp.where(dec == 2, ts, 1)).astype(
-                                       jnp.int32)
-                    hi = jnp.where(dec == 1, n_t.astype(jnp.int64) - 1,
-                                   jnp.where(dec == 2, te, 0)).astype(
-                                       jnp.int32)
-                    base = (ids_ins + 1).astype(jnp.uint32)
-                    filt = insert(filt, sf, lo, hi, base, dec == 2)
-                    blocks = jnp.where(
-                        dec == 1, 1 + L // (TL * bs),
-                        jnp.where(dec == 2, 1 + (te - ts) // bs, 0))
-                    ids_ins = ids_ins + blocks
-                    ins_bases = ins_bases + rec_len
-                    path_here = path_idx
-                    rotate = (jnp.bool_(silver) & (dec > 0)
-                              & (target < ins_bases) & (done == 0))
-                    path_idx = jnp.where(rotate, path_idx + 1, path_idx)
-                    overflow = rotate & (max_paths < path_idx)
-                    done = jnp.where(overflow, jnp.int64(1), done)
-                    do_reset = rotate & ~overflow
-                    filt = jax.lax.cond(do_reset, reset, lambda f: f, filt)
-                    ids_ins = jnp.where(do_reset, 0, ids_ins)
-                    ins_bases = jnp.where(do_reset, 0, ins_bases)
-                    if exact:
-                        changed = changed | (dec > 0)
-                    else:
-                        # optimistic: stale drops stay dropped, but a silver
-                        # reset always invalidates the rest of the batch
-                        changed = changed | do_reset
-                    out = jnp.stack([
-                        dec.astype(jnp.int64), ts, te,
-                        r.num_assigned[0].astype(jnp.int64), path_here,
-                        v.queries[0].astype(jnp.int64),
-                        v.hits[0].astype(jnp.int64),
-                        v.misses[0].astype(jnp.int64),
-                        v.overflow.sum().astype(jnp.int64),
-                        jnp.int64(0)])
-                    return (filt, ids_ins, ins_bases, path_idx, done,
-                            changed), out
+                    return (r.decision[0], r.trim_start[0], r.trim_end[0],
+                            r.num_assigned[0], v.queries[0], v.hits[0],
+                            v.misses[0], v.overflow.sum())
 
-                # once the state has changed since batch start, stale batch
-                # results are invalid for ALL reads — live re-check each
-                return jax.lax.cond(
-                    ((dec0 != 0) | changed) & (done == 0), full, skip, carry)
+                def use_batch(_):
+                    return (dec0, ts0, te0, na0, q0, h0, m0, ov0)
 
-            xs = (slots_q, frame_ok, slots_full,
+                # cond outputs are small scalars only; the filter state is a
+                # read-only closure operand, never selected through the cond
+                dec, ts, te, na, q, h, m, ov = jax.lax.cond(
+                    live, use_live, use_batch, None)
+                dec = jnp.where(rotated, 0, dec)
+                ts64, te64 = ts.astype(jnp.int64), te.astype(jnp.int64)
+                l_trim = jnp.where(te64 == n_t.astype(jnp.int64) - 1,
+                                   L - ts64 * TL, (te64 - ts64 + 1) * TL)
+                rec_len = jnp.where(dec == 1, L,
+                                    jnp.where(dec == 2, l_trim, 0))
+                lo = jnp.where(dec == 1, 0,
+                               jnp.where(dec == 2, ts64, 1)).astype(
+                                   jnp.int32)
+                hi = jnp.where(dec == 1, n_t.astype(jnp.int64) - 1,
+                               jnp.where(dec == 2, te64, 0)).astype(
+                                   jnp.int32)
+                base = (ids_ins + 1).astype(jnp.uint32)
+                filt = insert(filt, kz, lo, hi, base, dec == 2, ~rotated)
+                blocks = jnp.where(
+                    dec == 1, 1 + L // (TL * bs),
+                    jnp.where(dec == 2, 1 + (te64 - ts64) // bs, 0))
+                ids_ins = ids_ins + jnp.where(rotated, 0, blocks)
+                ins_bases = ins_bases + jnp.where(rotated, 0, rec_len)
+                processed = ~rotated
+                rotate_now = (jnp.bool_(silver) & (dec > 0)
+                              & (target < ins_bases) & ~rotated)
+                rotated = rotated | rotate_now
+                changed = changed | (dec > 0)
+                out = jnp.stack([
+                    jnp.where(processed, dec, -1).astype(jnp.int64),
+                    ts64, te64, na.astype(jnp.int64),
+                    q.astype(jnp.int64), h.astype(jnp.int64),
+                    m.astype(jnp.int64), ov.astype(jnp.int64)])
+                return (filt, ids_ins, ins_bases, rotated, changed), out
+
+            xs = (slots_q, frame_ok, keys,
                   full_lengths.astype(jnp.int64), n_tiles,
-                  res0.decision, res0.num_assigned,
+                  res0.decision, res0.trim_start, res0.trim_end,
+                  res0.num_assigned,
                   votes0.queries.astype(jnp.int64),
                   votes0.hits.astype(jnp.int64),
                   votes0.misses.astype(jnp.int64),
@@ -524,11 +540,12 @@ class GoldenPathEngine:
                 # local rows instead of per-step collectives
                 xs = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(a, repl), xs)
-            carry0 = (filt, scal0[0], scal0[1], scal0[2], scal0[3],
+            carry0 = (filt, scal0[0], scal0[1], jnp.bool_(False),
                       jnp.bool_(False))
-            (filt, ids_ins, ins_bases, path_idx, done, _), out = jax.lax.scan(
+            (filt, ids_ins, ins_bases, rotated, _), out = jax.lax.scan(
                 body, carry0, xs)
-            scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
+            scal = jnp.stack([ids_ins, ins_bases,
+                              rotated.astype(jnp.int64)])
             return filt, out, scal
 
         if mesh is None:
@@ -560,10 +577,8 @@ class GoldenPathEngine:
 
         pending = []            # eligible reads in stream order
 
-        def flush(batch):
-            nonlocal inserted_bases, curr_path, ids_inserted, done
-            if not batch or done:
-                return
+        def submit(batch):
+            """One device dispatch over `batch`; returns (out, scal)."""
             B = len(batch)
             T = max(_bucket_for(r.length // TL, cap) for r in batch)
             Bpad = max(B, cfg.batch_reads)
@@ -582,8 +597,8 @@ class GoldenPathEngine:
                 lengths[i] = min(r.length, T * TL + TL - 1)
                 full_lengths[i] = r.length
             fn = self._consume_for(Bpad, T)
-            scal0 = jnp.asarray([ids_inserted, inserted_bases, curr_path,
-                                 0], dtype=jnp.int64)
+            scal0 = jnp.asarray([ids_inserted, inserted_bases],
+                                dtype=jnp.int64)
             filt = self.cstate if self.compressed else self.state
             filt, out_d, scal_d = fn(filt, jnp.asarray(codes),
                                      jnp.asarray(lengths),
@@ -592,75 +607,92 @@ class GoldenPathEngine:
                 self.cstate = filt
             else:
                 self.state = filt
-            out = np.asarray(out_d)          # [Bpad, 10] single fetch
-            scal = np.asarray(scal_d)
-            for i, r in enumerate(batch):
-                (dec, ts, te, na, path_i, q, h, m, ov, done_b) = (
-                    int(x) for x in out[i])
-                if done_b:
-                    break
-                # effective tile count is capped at the bucket limit (reads
-                # longer than max_tiles*TL are classified on their first
-                # max_tiles tiles; the reference has no such cap)
-                num_tiles = int(lengths[i]) // TL
-                st.total_tiles += num_tiles
-                st.queries += q
-                st.hits += h
-                st.misses += m
-                st.vote_overflow += ov
-                st.assigned_tiles += na
-                st.unassigned_tiles += num_tiles - na
-                if dec == 1:        # recruited whole read
-                    qual = r.qual_bytes()
-                    self.writers[-1].write(r.id, "_untrimmed",
-                                           r.seq_bytes(), qual)
-                    inserted_bases += r.length
-                    st.inserted_bases_in_path += r.length
-                    st.reads_in_path += 1
-                    st.recruits += 1
-                    if qual is not None:
-                        st.phred_sum_in_path += r.phred_sum
-                elif dec == 2:      # recruited trimmed
-                    rseq, rqual = r.seq_bytes(), r.qual_bytes()
-                    if te == num_tiles - 1:
-                        seq = rseq[ts * TL:]
-                        qual = rqual[ts * TL:] if rqual else None
-                    else:
-                        end = ts * TL + (te - ts + 1) * TL
-                        seq = rseq[ts * TL:end]
-                        qual = rqual[ts * TL:end] if rqual else None
-                    self.writers[-1].write(r.id, "_trimmed", seq, qual)
-                    inserted_bases += len(seq)
-                    st.inserted_bases_in_path += len(seq)
-                    st.reads_in_path += 1
-                    st.recruits += 1
-                    if qual is not None:
-                        st.phred_sum_in_path += sum_phred(
-                            np.frombuffer(qual, dtype=np.uint8))
-                st.valid_reads += 1
-                # silver-path rotation (goldrush_path.cpp:156-187): the
-                # device scan already rotated/reset the filter; mirror the
-                # host-side bookkeeping
-                if dec in (1, 2) and cfg.silver_path and \
-                        target_bases < inserted_bases:
-                    st.paths_completed += 1
-                    curr_path += 1
-                    if cfg.max_paths < curr_path:
-                        done = True
-                        # the reference exit(0)s here; we stop consuming
-                        st.valid_reads -= 1   # exit happens before ++valid
+            return np.asarray(out_d), np.asarray(scal_d), lengths
+
+        def flush(batch):
+            nonlocal inserted_bases, curr_path, ids_inserted, done
+            while batch and not done:
+                out, scal, lengths = submit(batch)
+                resume_at = None
+                for i, r in enumerate(batch):
+                    (dec, ts, te, na, q, h, m, ov) = (
+                        int(x) for x in out[i])
+                    if dec < 0:
+                        # unprocessed: a rotation earlier in the batch ended
+                        # this dispatch; resubmit from here after the reset
+                        resume_at = i
                         break
-                    inserted_bases = 0
-                    st.reads_in_path = 0
-                    st.inserted_bases_in_path = 0
-                    st.phred_sum_in_path = 0.0
-                    self.writers[-1].close()
-                    self._open_writer(curr_path)
-            ids_inserted = int(scal[0])
-            assert inserted_bases == int(scal[1]) or done, \
-                (inserted_bases, int(scal[1]))
-            assert curr_path == int(scal[2]) or done, \
-                (curr_path, int(scal[2]))
+                    # effective tile count is capped at the bucket limit
+                    # (reads longer than max_tiles*TL are classified on
+                    # their first max_tiles tiles; the reference has no cap)
+                    num_tiles = int(lengths[i]) // TL
+                    st.total_tiles += num_tiles
+                    st.queries += q
+                    st.hits += h
+                    st.misses += m
+                    st.vote_overflow += ov
+                    st.assigned_tiles += na
+                    st.unassigned_tiles += num_tiles - na
+                    if dec == 1:        # recruited whole read
+                        qual = r.qual_bytes()
+                        self.writers[-1].write(r.id, "_untrimmed",
+                                               r.seq_bytes(), qual)
+                        inserted_bases += r.length
+                        st.inserted_bases_in_path += r.length
+                        st.reads_in_path += 1
+                        st.recruits += 1
+                        if qual is not None:
+                            st.phred_sum_in_path += r.phred_sum
+                    elif dec == 2:      # recruited trimmed
+                        rseq, rqual = r.seq_bytes(), r.qual_bytes()
+                        if te == num_tiles - 1:
+                            seq = rseq[ts * TL:]
+                            qual = rqual[ts * TL:] if rqual else None
+                        else:
+                            end = ts * TL + (te - ts + 1) * TL
+                            seq = rseq[ts * TL:end]
+                            qual = rqual[ts * TL:end] if rqual else None
+                        self.writers[-1].write(r.id, "_trimmed", seq, qual)
+                        inserted_bases += len(seq)
+                        st.inserted_bases_in_path += len(seq)
+                        st.reads_in_path += 1
+                        st.recruits += 1
+                        if qual is not None:
+                            st.phred_sum_in_path += sum_phred(
+                                np.frombuffer(qual, dtype=np.uint8))
+                    st.valid_reads += 1
+                    # silver-path rotation (goldrush_path.cpp:156-187): the
+                    # device scan stopped after the rotating read; reset the
+                    # filter here and resubmit the remainder of the batch
+                    if dec in (1, 2) and cfg.silver_path and \
+                            target_bases < inserted_bases:
+                        assert inserted_bases == int(scal[1]), \
+                            (inserted_bases, int(scal[1]))
+                        st.paths_completed += 1
+                        curr_path += 1
+                        if cfg.max_paths < curr_path:
+                            done = True
+                            # the reference exit(0)s here; we stop consuming
+                            st.valid_reads -= 1  # exit happens before ++valid
+                            resume_at = None
+                            break
+                        inserted_bases = 0
+                        ids_inserted = 0
+                        st.reads_in_path = 0
+                        st.inserted_bases_in_path = 0
+                        st.phred_sum_in_path = 0.0
+                        self.writers[-1].close()
+                        self._open_writer(curr_path)
+                        self._reset_state()
+                        resume_at = i + 1
+                        break
+                if resume_at is None:
+                    if not done:
+                        ids_inserted = int(scal[0])
+                        assert inserted_bases == int(scal[1]), \
+                            (inserted_bases, int(scal[1]))
+                    return
+                batch = batch[resume_at:]
 
         with ingest.ReadStream(path) as rs:
             for rec in rs.records():
