@@ -64,19 +64,33 @@ def _ffill_value(seed_mask, seed_vals, T):
     return (filled & ((1 << 30) - 1)).astype(jnp.int32)
 
 
+# per-pass debug snapshot labels, matching the reference's 9
+# log_tile_states sites (goldrush_path.cpp:637,664,685,737,769,796,824,
+# 853,880)
+DEBUG_PASSES = ("initial", "recon_fwd", "recon_bwd", "neighbor_fill",
+                "hole_fill", "lone_suppress", "gap_bridge",
+                "endfix_noncontig", "short_run")
+
+
 @partial(jax.jit, static_argnames=("threshold", "unassigned_min",
-                                   "assigned_max"))
+                                   "assigned_max", "debug"))
 def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
-                   threshold: int, unassigned_min: int, assigned_max: int
-                   ) -> ClassifyResult:
+                   threshold: int, unassigned_min: int, assigned_max: int,
+                   debug: bool = False):
     """Full per-read classification from vote tables.
 
     curr_id:   uint32/int32 [B, T] initial max-count id per tile
     top_count: int32 [B, T]
     cand_ids/cand_counts: [B, T, K] count>2 candidates (count desc)
     n_tiles:   int32 [B] true tile counts (padded tiles beyond are ignored)
+
+    With ``debug=True`` returns (result, ids_trace [B, 9, T], bools_trace
+    [B, 9, T]): the tile states after each smoothing pass, one snapshot per
+    reference log_tile_states site (goldrush_path.cpp:109-124; see
+    DEBUG_PASSES).
     """
     B, T = curr_id.shape
+    trace = []                  # (ids, bools) snapshots when debug
     ids = curr_id.astype(jnp.int32)
     cand_ids = cand_ids.astype(jnp.int32)
     cand_counts = cand_counts.astype(jnp.int32)
@@ -89,6 +103,8 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
         & (cand_counts[:, :, 0] > threshold), 1, 0).astype(jnp.int32)
 
     smooth = n >= 3          # [B] gate for all smoothing passes
+    if debug:
+        trace.append((ids, bools))          # 637: initial assignment
 
     # ---- pass 1/2: ID reconciliation, forward then backward -------------
     def recon(reverse):
@@ -110,9 +126,13 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
     # carry = own id)
     _, (ids, bools) = _scan_T(recon(False), jnp.zeros(B, jnp.int32),
                               [tcol, ids, bools, cand_ids, cand_counts])
+    if debug:
+        trace.append((ids, bools))          # 664: forward reconciliation
     _, (ids, bools) = _scan_T(recon(True), jnp.zeros(B, jnp.int32),
                               [tcol, ids, bools, cand_ids, cand_counts],
                               reverse=True)
+    if debug:
+        trace.append((ids, bools))          # 685: backward reconciliation
 
     # ---- pass 3/4: neighbor fill, forward then backward -----------------
     def nfill_fwd(carry, xs):
@@ -154,6 +174,8 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
     _, (ids, bools) = _scan_T(
         nfill_bwd, (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32)),
         [tcol, ids, bools, prev_ids, prev_bools], reverse=True)
+    if debug:
+        trace.append((ids, bools))          # 737: neighbor fill
 
     # ---- pass 5: hole fill between compatible flank ids ------------------
     def hole_fill(ids, bools):
@@ -186,6 +208,8 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
                       jnp.where(ok, pos, 0)].max(jnp.where(ok, vals, 0))
 
     ids, bools = hole_fill(ids, bools)
+    if debug:
+        trace.append((ids, bools))          # 769: hole fill
 
     # ---- pass 6: lone-tile suppression fwd/bwd ---------------------------
     def lone_fwd(prev_b, xs):
@@ -209,6 +233,8 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
     prev_bools = jnp.pad(bools[:, :-1], ((0, 0), (1, 0)))
     _, (bools,) = _scan_T(lone_bwd, jnp.zeros(B, jnp.int32),
                           [tcol, bools, prev_bools], reverse=True)
+    if debug:
+        trace.append((ids, bools))          # 796: lone-tile suppression
 
     # ---- pass 7: gap bridging by ID --------------------------------------
     member0 = (bools == 1) & smooth[:, None] & in_read   # membership snapshot
@@ -259,6 +285,8 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
         return out
 
     ids = jnp.where(smooth[:, None], bridge_all(ids), ids)
+    if debug:
+        trace.append((ids, bools))          # 824: gap bridging
 
     # ---- pass 8: end-tile fix --------------------------------------------
     def gat(arr, pos):
@@ -280,6 +308,8 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
     interior = (t_idx >= 1) & (t_idx <= n[:, None] - 2) & smooth[:, None]
     iso = interior & ~_adj(ids, ni) & ~_adj(ids, pi)
     bools = jnp.where(iso, 0, bools)
+    if debug:
+        trace.append((ids, bools))          # 853: end fix + non-contiguous
 
     # ---- pass 10: short-run suppression (<=5) ----------------------------
     pb = jnp.pad(bools[:, :-1], ((0, 0), (1, 0)))
@@ -294,6 +324,8 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
     bools = jnp.where(suppress & smooth[:, None], 0, bools)
 
     bools = jnp.where(in_read, bools, 0)
+    if debug:
+        trace.append((ids, bools))          # 880: short-run suppression
     num_assigned = bools.sum(axis=1).astype(jnp.int32)
 
     # ---- find_longest_stretch (goldrush_path.cpp:195-233) ----------------
@@ -386,8 +418,12 @@ def classify_batch(curr_id, top_count, cand_ids, cand_counts, n_tiles,
     fully = num_assigned == n
     trimmed = ~whole & ~fully & good_flank
     decision = jnp.where(whole, 1, jnp.where(trimmed, 2, 0)).astype(jnp.int32)
-    return ClassifyResult(decision=decision,
-                          trim_start=trim_start.astype(jnp.int32),
-                          trim_end=trim_end.astype(jnp.int32),
-                          num_assigned=num_assigned,
-                          ids=ids, bools=bools)
+    result = ClassifyResult(decision=decision,
+                            trim_start=trim_start.astype(jnp.int32),
+                            trim_end=trim_end.astype(jnp.int32),
+                            num_assigned=num_assigned,
+                            ids=ids, bools=bools)
+    if debug:
+        return (result, jnp.stack([t[0] for t in trace], axis=1),
+                jnp.stack([t[1] for t in trace], axis=1))
+    return result

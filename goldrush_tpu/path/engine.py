@@ -140,6 +140,11 @@ class GoldenPathEngine:
                   file=sys.stderr)
             with open(cfg.filter_file) as f:
                 self.filter_out.update(f.read().split())
+        if cfg.debug:
+            # --debug dumps per-pass tile states per read; force strict
+            # sequential batches so every dump reflects the live filter
+            # (the reference consumer is sequential, goldrush_path.cpp:1229)
+            cfg.batch_reads = 1
         self.phred_min = cfg.phred_min
         self.stats = EngineStats()
         self.writers: list[fastq.PathWriter] = []
@@ -317,6 +322,43 @@ class GoldenPathEngine:
         return self._classify_fn[key](
             filt, jnp.asarray(codes),
             jnp.asarray(lengths, dtype=jnp.int32))
+
+    def _debug_dump(self, codes, lengths, batch, T):
+        """--debug: per-pass tile-state dumps against the live filter
+        (log_tile_states parity, goldrush_path.cpp:109-124, dump sites
+        :637-880)."""
+        key = (codes.shape[0], T, "dbg")
+        if key not in self._classify_fn:
+            params, x_eff, cfg = self.params, self.x_eff, self.cfg
+
+            def step(filt, codes, lengths):
+                slots, frame_ok = dm.build_slot_grid(
+                    codes, lengths, self.fam, params, T)
+                if self.compressed:
+                    from ..mibf import compressed as cz
+                    votes = cz.probe_and_vote(filt, slots, frame_ok, params,
+                                              num_tiles=T)
+                else:
+                    votes = dm.probe_and_vote(filt, slots, frame_ok, params,
+                                              num_tiles=T)
+                return classify_batch(
+                    votes.curr_id, votes.top_count, votes.cand_ids,
+                    votes.cand_counts,
+                    (lengths // params.tile_length).astype(jnp.int32),
+                    x_eff, cfg.unassigned_min, cfg.assigned_max, debug=True)
+
+            self._classify_fn[key] = jax.jit(step)
+        filt = self.cstate if self.compressed else self.state.words
+        _, ids_tr, bools_tr = self._classify_fn[key](
+            filt, jnp.asarray(codes), jnp.asarray(lengths, dtype=jnp.int32))
+        from ..utils.observability import log_tile_states
+        ids_tr = np.asarray(ids_tr)
+        bools_tr = np.asarray(bools_tr)
+        TL = self.cfg.tile_length
+        for i, _r in enumerate(batch):
+            n = int(lengths[i]) // TL
+            for p in range(ids_tr.shape[1]):
+                log_tile_states(ids_tr[i, p, :n], bools_tr[i, p, :n])
 
     def _full_slots(self, codes_row, length, T):
         """Full-resolution probe grid of one read, for insertion (queries may
@@ -596,6 +638,8 @@ class GoldenPathEngine:
                 # max_tiles*TL tiles are classified on the first cap tiles)
                 lengths[i] = min(r.length, T * TL + TL - 1)
                 full_lengths[i] = r.length
+            if cfg.debug:
+                self._debug_dump(codes, lengths, batch, T)
             fn = self._consume_for(Bpad, T)
             scal0 = jnp.asarray([ids_inserted, inserted_bases],
                                 dtype=jnp.int64)

@@ -84,6 +84,16 @@ def log_engine_header(cfg, seeds, universe, phred_min) -> None:
               file=e)
 
 
+def log_tile_states(ids, bools) -> None:
+    """--debug per-pass tile-state dump, byte-compatible with the
+    reference's log_tile_states (goldrush_path.cpp:109-124): one
+    tab-separated line of per-tile ids, one of 0/1 assignment flags."""
+    e = sys.stderr
+    e.write("".join(f"{int(i)}\t" for i in ids) + "\n")
+    e.write("".join(f"{int(b)}\t" for b in bools) + "\n")
+    e.flush()
+
+
 @contextlib.contextmanager
 def phase_timer(name: str, verbose: bool = True):
     """omp_get_wtime-style phase timing (goldrush_path.cpp:244,337-338)."""
