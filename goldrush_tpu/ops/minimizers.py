@@ -28,6 +28,21 @@ def _unspaced_family(k: int):
     return build_seed_family(["1" * k])
 
 
+def _sliding_min(keys: jax.Array, w: int) -> jax.Array:
+    """Windowed min over the minor axis (VALID windows of size w) via the
+    log-doubling trick: m_p[i] = min(keys[i:i+p]) built by doubling p, then
+    out[i] = min(m_p[i], m_p[i+w-p]).  O(log w) elementwise passes — compiles
+    orders of magnitude faster than reduce_window at large w and runs as
+    pure VPU mins."""
+    m = keys
+    p = 1
+    while p * 2 <= w:
+        m = jnp.minimum(m[:, :m.shape[1] - p], m[:, p:])
+        p *= 2
+    n_out = keys.shape[1] - w + 1
+    return jnp.minimum(m[:, :n_out], m[:, w - p: w - p + n_out])
+
+
 @partial(jax.jit, static_argnames=("k", "w", "num_positions"))
 def minimizer_keys(codes: jax.Array, k: int, w: int, num_positions: int
                    ) -> tuple[jax.Array, jax.Array]:
@@ -43,10 +58,7 @@ def minimizer_keys(codes: jax.Array, k: int, w: int, num_positions: int
     pos = jnp.arange(num_positions, dtype=jnp.uint64)
     # keep the top 44 bits of the hash; low 20 bits carry the position
     keys = ((hashes >> jnp.uint64(20)) << jnp.uint64(20)) | pos
-    mins = jax.lax.reduce_window(
-        keys, jnp.uint64(0xFFFFFFFFFFFFFFFF), jax.lax.min,
-        window_dimensions=(1, w), window_strides=(1, 1), padding="VALID")
-    return mins, hashes                                           # [B, nw]
+    return _sliding_min(keys, w), hashes                          # [B, nw]
 
 
 def minimizers_np(seq_codes: np.ndarray, k: int, w: int

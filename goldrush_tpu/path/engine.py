@@ -154,6 +154,14 @@ class GoldenPathEngine:
         self._full_slots_fn = {}
         self._consume_fn = {}
         self._reset_fn = None
+        # host fetches go through this tiny copying executable: fetching an
+        # output of the consume executable directly makes the runtime ship
+        # its WHOLE result tuple (incl. the multi-GB donated filter) to the
+        # host on every subsequent call over the device transport — ~600 ms
+        # per batch on the TPU relay.  The +0 forces fresh small buffers so
+        # only they cross the wire.
+        self._fetch_fn = jax.jit(
+            lambda t: jax.tree_util.tree_map(lambda a: a + 0, t))
 
     # ------------------------------------------------------------------
     def calc_phred_threshold(self, path: str) -> None:
@@ -651,7 +659,8 @@ class GoldenPathEngine:
                 self.cstate = filt
             else:
                 self.state = filt
-            return np.asarray(out_d), np.asarray(scal_d), lengths
+            out_h, scal_h = self._fetch_fn((out_d, scal_d))
+            return np.asarray(out_h), np.asarray(scal_h), lengths
 
         def flush(batch):
             nonlocal inserted_bases, curr_path, ids_inserted, done

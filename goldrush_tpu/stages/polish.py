@@ -23,6 +23,7 @@ design rule (SURVEY.md section 7).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -46,35 +47,66 @@ class PolishParams:
     batch: int = 64
 
 
+def _pow2(n: int, floor: int = 1 << 10) -> int:
+    return 1 << max(floor.bit_length() - 1, (n - 1).bit_length())
+
+
+@partial(jax.jit, static_argnames=("k", "P", "size"))
+def _count_kmers(counts, codes, lengths, k: int, P: int, size: int):
+    fam = build_seed_family(["1" * k])
+    h = hash_positions(codes, fam, P)[:, 0, :]
+    valid = (jnp.arange(P, dtype=jnp.int64)[None, :]
+             < (lengths - k + 1)[:, None])
+    slots = jnp.where(valid, fastrange(h, size),
+                      jnp.uint64(size)).astype(jnp.int64)
+    return counts.at[slots.reshape(-1)].add(jnp.uint32(1), mode="drop")
+
+
+@partial(jax.jit, static_argnames=("k", "P", "size"))
+def _query_kmers(counts, codes, lengths, k: int, P: int, size: int):
+    """counts of the codes' k-mers: uint32 [B, P] (+ valid mask)."""
+    fam = build_seed_family(["1" * k])
+    h = hash_positions(codes, fam, P)[:, 0, :]
+    valid = (jnp.arange(P, dtype=jnp.int64)[None, :]
+             < (lengths - k + 1)[:, None])
+    slots = fastrange(h, size).astype(jnp.int64)
+    return counts[slots], valid
+
+
 class KmerTable:
-    """Flat count table of canonical k-mer hashes (device scatter-add)."""
+    """Flat count table of canonical k-mer hashes (device scatter-add).
+
+    All device entry points pad to power-of-two shape buckets: stage inputs
+    have arbitrary lengths and a compile per distinct shape turns the
+    polisher into a compile farm.
+    """
 
     def __init__(self, expected_kmers: int, factor: int):
         self.size = max(1 << 16, int(expected_kmers * factor)) | 1
         self.counts = jnp.zeros(self.size + 1, dtype=jnp.uint32)
 
     def add_batch(self, codes: np.ndarray, lengths: np.ndarray, k: int):
-        fam = build_seed_family(["1" * k])
-        P = codes.shape[1] - k + 1
-        h = hash_positions(codes, fam, P)[:, 0, :]
-        valid = (np.arange(P)[None, :] <
-                 (lengths - k + 1)[:, None])
-        slots = jnp.where(jnp.asarray(valid), fastrange(h, self.size),
-                          jnp.uint64(self.size)).astype(jnp.int64)
-        self.counts = self.counts.at[slots.reshape(-1)].add(
-            jnp.uint32(1), mode="drop")
+        B, L = codes.shape
+        Bp, Lp = _pow2(B, 8), _pow2(L)
+        cp = np.zeros((Bp, Lp), dtype=np.uint8)
+        cp[:B, :L] = codes
+        lp = np.zeros(Bp, dtype=np.int64)
+        lp[:B] = lengths
+        self.counts = _count_kmers(self.counts, jnp.asarray(cp),
+                                   jnp.asarray(lp), k, Lp - k + 1, self.size)
 
-    def query_hashes(self, h: jax.Array) -> jax.Array:
-        slots = fastrange(h, self.size).astype(jnp.int64)
-        return self.counts[slots]
-
-
-def _hash_windows(windows: np.ndarray, lengths: np.ndarray, k: int):
-    fam = build_seed_family(["1" * k])
-    P = windows.shape[1] - k + 1
-    h = hash_positions(windows, fam, P)[:, 0, :]
-    valid = np.arange(P)[None, :] < (lengths - k + 1)[:, None]
-    return h, valid
+    def query_batch(self, codes: np.ndarray, lengths: np.ndarray, k: int):
+        """(counts uint32 [B, P], valid bool [B, P]) for padded batch."""
+        B, L = codes.shape
+        Bp, Lp = _pow2(B, 8), _pow2(L)
+        cp = np.zeros((Bp, Lp), dtype=np.uint8)
+        cp[:B, :L] = codes
+        lp = np.zeros(Bp, dtype=np.int64)
+        lp[:B] = lengths
+        cnt, valid = _query_kmers(self.counts, jnp.asarray(cp),
+                                  jnp.asarray(lp), k, Lp - k + 1, self.size)
+        P = L - k + 1
+        return np.asarray(cnt)[:B, :P], np.asarray(valid)[:B, :P]
 
 
 def build_read_table(reads: list[bytes], p: PolishParams) -> KmerTable:
@@ -103,10 +135,9 @@ def _contig_solidity(table: KmerTable, codes: np.ndarray, p: PolishParams
     n = len(codes) - p.k + 1
     if n <= 0:
         return np.zeros(0, dtype=bool)
-    fam = build_seed_family(["1" * p.k])
-    h = hash_positions(codes[None, :], fam, n)[0, 0, :]
-    cnt = np.asarray(table.query_hashes(h))
-    return cnt >= p.solid_min
+    cnt, _ = table.query_batch(codes[None, :],
+                               np.array([len(codes)], dtype=np.int64), p.k)
+    return cnt[0] >= p.solid_min
 
 
 def _candidate_edits(seq: np.ndarray, b: int, k: int):
@@ -187,8 +218,7 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
         for i, (_, _, _, win) in enumerate(cands):
             wins[i, : len(win)] = win
             lens[i] = len(win)
-        h, valid = _hash_windows(wins, lens, p.k)
-        cnt = np.asarray(table.query_hashes(h))
+        cnt, valid = table.query_batch(wins, lens, p.k)
         solid_w = (cnt >= p.solid_min) & valid
         scores = solid_w.sum(1) / np.maximum(valid.sum(1), 1)
         # pick best candidate per site
