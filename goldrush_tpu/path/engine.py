@@ -153,15 +153,6 @@ class GoldenPathEngine:
         self._classify_fn = {}
         self._full_slots_fn = {}
         self._consume_fn = {}
-        self._reset_fn = None
-        # host fetches go through this tiny copying executable: fetching an
-        # output of the consume executable directly makes the runtime ship
-        # its WHOLE result tuple (incl. the multi-GB donated filter) to the
-        # host on every subsequent call over the device transport — ~600 ms
-        # per batch on the TPU relay.  The +0 forces fresh small buffers so
-        # only they cross the wire.
-        self._fetch_fn = jax.jit(
-            lambda t: jax.tree_util.tree_map(lambda a: a + 0, t))
 
     # ------------------------------------------------------------------
     def calc_phred_threshold(self, path: str) -> None:
@@ -411,28 +402,17 @@ class GoldenPathEngine:
             self.state = self._insert_fn[key](self.state, *args)
 
     # ------------------------------------------------------------------
-    def _reset_state(self) -> None:
-        """Silver-path rotation reset (goldrush_path.cpp:156-187): zero IDs
-        and counters, keep presence; one donated device dispatch."""
-        if self._reset_fn is None:
-            if self.compressed:
-                from ..mibf import compressed as cz
-                self._reset_fn = jax.jit(cz.reset_ids, donate_argnums=(0,))
-            else:
-                self._reset_fn = jax.jit(dm.reset_ids, donate_argnums=(0,))
-        if self.compressed:
-            self.cstate = self._reset_fn(self.cstate)
-        else:
-            self.state = self._reset_fn(self.state)
-
-    # ------------------------------------------------------------------
     def _consume_for(self, B, T):
         """Fused per-batch executable: batched classify + grid/sort prep,
         then an exact sequential consume scan over the batch.
 
-        The scan is structured so the (multi-GB) filter state never crosses
-        a lax.cond boundary — conds on big carried buffers force XLA to
-        copy them every step (~2 ms/step at production sizes):
+        The executable is fetch-free: its outputs are chained device-to-
+        device across batches (``scal``) and the per-read rows are fetched
+        by the host only AFTER the whole pass — on this backend ANY
+        device-to-host transfer permanently degrades subsequent big-state
+        executions to a full state round-trip per call (~630 ms/GB; see
+        .claude/skills/verify/SKILL.md gotchas), so the steady-state loop
+        must never fetch.  Structure:
 
           * each step re-probes the LIVE state and classifies, via a cond
             whose outputs are only the small per-read decision tuple (the
@@ -442,9 +422,9 @@ class GoldenPathEngine:
             (dm.insert_read_sorted) — a non-recruit masks every write to a
             dropped dummy index, so the carried arrays are mutated purely
             in place,
-          * a silver rotation sets a `rotated` flag and leaves the rest of
-            the batch unprocessed; the host resets the filter (one donated
-            dispatch) and resubmits the remaining reads.
+          * a silver rotation resets the filter in-scan (rare-true cond)
+            and processing continues within the batch; path accounting is
+            reconstructed by the host replay from the per-read rows.
 
         Staleness policy (cfg.recheck): "exact" re-probes every read from
         the first in-batch state change onward — bit-exact sequential at ANY
@@ -461,6 +441,7 @@ class GoldenPathEngine:
         silver = bool(cfg.silver_path)
         exact = cfg.recheck == "exact"
         target = int(cfg.target_bases())
+        max_paths = int(cfg.max_paths)
         u_min, a_max = cfg.unassigned_min, cfg.assigned_max
         if self.compressed:
             from ..mibf import compressed as cz
@@ -483,6 +464,9 @@ class GoldenPathEngine:
                                              trimmed, active, params_full,
                                              num_tiles=T,
                                              assume_present=True)
+
+            def reset(filt):
+                return cz.reset_ids(filt)
         else:
             def probe(filt, s, ok):
                 return dm.probe_and_vote(filt.words, s, ok, params,
@@ -504,16 +488,21 @@ class GoldenPathEngine:
                                              num_tiles=T,
                                              assume_present=True)
 
+            def reset(filt):
+                return dm.reset_ids(filt)
+
         def classify(votes, n_tiles):
             return classify_batch(votes.curr_id, votes.top_count,
                                   votes.cand_ids, votes.cand_counts,
                                   n_tiles, x_eff, u_min, a_max)
 
         def consume(filt, codes, lengths, full_lengths, scal0):
-            # scal0: int64 [2] = ids_inserted, inserted_bases
-            # lengths are bucket-capped for the probe grid; full_lengths are
-            # the true read lengths, used for inserted-base accounting
-            # (process_read adds the whole read, goldrush_path.cpp:996-1000)
+            # scal0: int64 [4] = ids_inserted, inserted_bases, path_idx,
+            # done — device-chained across batches, never read by the host
+            # until the whole pass is over.  lengths are bucket-capped for
+            # the probe grid; full_lengths are the true read lengths, used
+            # for inserted-base accounting (process_read adds the whole
+            # read, goldrush_path.cpp:996-1000)
             n_tiles = (lengths // TL).astype(jnp.int32)
             slots_q, frame_ok = dm.build_slot_grid(codes, lengths, fam,
                                                    params, T)
@@ -522,10 +511,10 @@ class GoldenPathEngine:
             keys = build_keys(filt, codes, lengths, slots_q)
 
             def body(carry, xs):
-                filt, ids_ins, ins_bases, rotated, changed = carry
+                filt, ids_ins, ins_bases, path_idx, done, changed = carry
                 (sq, ok, kz, L, n_t, dec0, ts0, te0, na0,
                  q0, h0, m0, ov0) = xs
-                live = changed & ~rotated
+                live = changed & (done == 0)
                 if not exact:
                     # optimistic: a read the stale batch classified "drop"
                     # stays dropped; only candidates re-probe live
@@ -545,7 +534,7 @@ class GoldenPathEngine:
                 # read-only closure operand, never selected through the cond
                 dec, ts, te, na, q, h, m, ov = jax.lax.cond(
                     live, use_live, use_batch, None)
-                dec = jnp.where(rotated, 0, dec)
+                dec = jnp.where(done != 0, 0, dec)
                 ts64, te64 = ts.astype(jnp.int64), te.astype(jnp.int64)
                 l_trim = jnp.where(te64 == n_t.astype(jnp.int64) - 1,
                                    L - ts64 * TL, (te64 - ts64 + 1) * TL)
@@ -558,23 +547,30 @@ class GoldenPathEngine:
                                jnp.where(dec == 2, te64, 0)).astype(
                                    jnp.int32)
                 base = (ids_ins + 1).astype(jnp.uint32)
-                filt = insert(filt, kz, lo, hi, base, dec == 2, ~rotated)
+                filt = insert(filt, kz, lo, hi, base, dec == 2, done == 0)
                 blocks = jnp.where(
                     dec == 1, 1 + L // (TL * bs),
                     jnp.where(dec == 2, 1 + (te64 - ts64) // bs, 0))
-                ids_ins = ids_ins + jnp.where(rotated, 0, blocks)
-                ins_bases = ins_bases + jnp.where(rotated, 0, rec_len)
-                processed = ~rotated
-                rotate_now = (jnp.bool_(silver) & (dec > 0)
-                              & (target < ins_bases) & ~rotated)
-                rotated = rotated | rotate_now
+                ids_ins = ids_ins + jnp.where(done != 0, 0, blocks)
+                ins_bases = ins_bases + jnp.where(done != 0, 0, rec_len)
+                # silver rotation (goldrush_path.cpp:156-187): reset IDs +
+                # counters in-scan (rare-true cond) and keep consuming
+                rotate = (jnp.bool_(silver) & (dec > 0)
+                          & (target < ins_bases) & (done == 0))
+                path_idx = jnp.where(rotate, path_idx + 1, path_idx)
+                overflow = rotate & (max_paths < path_idx)
+                done = jnp.where(overflow, jnp.int64(1), done)
+                do_reset = rotate & ~overflow
+                filt = jax.lax.cond(do_reset, reset, lambda f: f, filt)
+                ids_ins = jnp.where(do_reset, 0, ids_ins)
+                ins_bases = jnp.where(do_reset, 0, ins_bases)
                 changed = changed | (dec > 0)
                 out = jnp.stack([
-                    jnp.where(processed, dec, -1).astype(jnp.int64),
-                    ts64, te64, na.astype(jnp.int64),
+                    dec.astype(jnp.int64), ts64, te64, na.astype(jnp.int64),
                     q.astype(jnp.int64), h.astype(jnp.int64),
                     m.astype(jnp.int64), ov.astype(jnp.int64)])
-                return (filt, ids_ins, ins_bases, rotated, changed), out
+                return (filt, ids_ins, ins_bases, path_idx, done,
+                        changed), out
 
             xs = (slots_q, frame_ok, keys,
                   full_lengths.astype(jnp.int64), n_tiles,
@@ -590,12 +586,11 @@ class GoldenPathEngine:
                 # local rows instead of per-step collectives
                 xs = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(a, repl), xs)
-            carry0 = (filt, scal0[0], scal0[1], jnp.bool_(False),
+            carry0 = (filt, scal0[0], scal0[1], scal0[2], scal0[3],
                       jnp.bool_(False))
-            (filt, ids_ins, ins_bases, rotated, _), out = jax.lax.scan(
+            (filt, ids_ins, ins_bases, path_idx, done, _), out = jax.lax.scan(
                 body, carry0, xs)
-            scal = jnp.stack([ids_ins, ins_bases,
-                              rotated.astype(jnp.int64)])
+            scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
             return filt, out, scal
 
         if mesh is None:
@@ -611,24 +606,40 @@ class GoldenPathEngine:
         return self._consume_fn[key]
 
     # ------------------------------------------------------------------
+    def _eligible(self, path: str):
+        """Stream the pass-2-eligible reads in order (deterministic gates,
+        so the submit pass and the replay pass see identical sequences)."""
+        cfg = self.cfg
+        with ingest.ReadStream(path) as rs:
+            for rec in rs.records():
+                if rec.length < cfg.min_length or \
+                        rec.id in self.filter_out:
+                    continue
+                yield rec
+
     def assign(self, path: str) -> None:
-        """Pass 2: stream reads in order, classify in micro-batches, recruit
-        sequentially."""
+        """Pass 2, in two host passes over the stream:
+
+        submit pass — reads stream in order through device micro-batches;
+        the consume executable chains its scalar state (ids, bases, path,
+        done) device-to-device and the per-read decision rows stay on
+        device.  NOTHING is fetched: on this backend any device-to-host
+        transfer permanently degrades subsequent big-state calls to a full
+        filter round-trip per call (see _consume_for docstring).
+
+        replay pass — after the last batch, the rows are fetched in one go
+        and the input is re-streamed with identical gates; path files,
+        stats, and silver rotations are reconstructed host-side (the device
+        already applied the matching resets in-scan)."""
         t0 = time.time()
         cfg, st = self.cfg, self.stats
         TL = cfg.tile_length
-        target_bases = cfg.target_bases()
-        inserted_bases = 0
-        curr_path = 1
-        ids_inserted = 0
-        self._open_writer(curr_path)
-        done = False
         cap = cfg.max_tiles
-
-        pending = []            # eligible reads in stream order
+        plans: list[tuple[int, int, object]] = []   # (n_reads, T, out_d)
+        scal_d = jnp.asarray([0, 0, 1, 0], dtype=jnp.int64)
 
         def submit(batch):
-            """One device dispatch over `batch`; returns (out, scal)."""
+            nonlocal scal_d
             B = len(batch)
             T = max(_bucket_for(r.length // TL, cap) for r in batch)
             Bpad = max(B, cfg.batch_reads)
@@ -649,117 +660,107 @@ class GoldenPathEngine:
             if cfg.debug:
                 self._debug_dump(codes, lengths, batch, T)
             fn = self._consume_for(Bpad, T)
-            scal0 = jnp.asarray([ids_inserted, inserted_bases],
-                                dtype=jnp.int64)
             filt = self.cstate if self.compressed else self.state
             filt, out_d, scal_d = fn(filt, jnp.asarray(codes),
                                      jnp.asarray(lengths),
-                                     jnp.asarray(full_lengths), scal0)
+                                     jnp.asarray(full_lengths), scal_d)
             if self.compressed:
                 self.cstate = filt
             else:
                 self.state = filt
-            out_h, scal_h = self._fetch_fn((out_d, scal_d))
-            return np.asarray(out_h), np.asarray(scal_h), lengths
+            plans.append((B, T, out_d))
 
-        def flush(batch):
-            nonlocal inserted_bases, curr_path, ids_inserted, done
-            while batch and not done:
-                out, scal, lengths = submit(batch)
-                resume_at = None
-                for i, r in enumerate(batch):
-                    (dec, ts, te, na, q, h, m, ov) = (
-                        int(x) for x in out[i])
-                    if dec < 0:
-                        # unprocessed: a rotation earlier in the batch ended
-                        # this dispatch; resubmit from here after the reset
-                        resume_at = i
-                        break
-                    # effective tile count is capped at the bucket limit
-                    # (reads longer than max_tiles*TL are classified on
-                    # their first max_tiles tiles; the reference has no cap)
-                    num_tiles = int(lengths[i]) // TL
-                    st.total_tiles += num_tiles
-                    st.queries += q
-                    st.hits += h
-                    st.misses += m
-                    st.vote_overflow += ov
-                    st.assigned_tiles += na
-                    st.unassigned_tiles += num_tiles - na
-                    if dec == 1:        # recruited whole read
-                        qual = r.qual_bytes()
-                        self.writers[-1].write(r.id, "_untrimmed",
-                                               r.seq_bytes(), qual)
-                        inserted_bases += r.length
-                        st.inserted_bases_in_path += r.length
-                        st.reads_in_path += 1
-                        st.recruits += 1
-                        if qual is not None:
-                            st.phred_sum_in_path += r.phred_sum
-                    elif dec == 2:      # recruited trimmed
-                        rseq, rqual = r.seq_bytes(), r.qual_bytes()
-                        if te == num_tiles - 1:
-                            seq = rseq[ts * TL:]
-                            qual = rqual[ts * TL:] if rqual else None
-                        else:
-                            end = ts * TL + (te - ts + 1) * TL
-                            seq = rseq[ts * TL:end]
-                            qual = rqual[ts * TL:end] if rqual else None
-                        self.writers[-1].write(r.id, "_trimmed", seq, qual)
-                        inserted_bases += len(seq)
-                        st.inserted_bases_in_path += len(seq)
-                        st.reads_in_path += 1
-                        st.recruits += 1
-                        if qual is not None:
-                            st.phred_sum_in_path += sum_phred(
-                                np.frombuffer(qual, dtype=np.uint8))
-                    st.valid_reads += 1
-                    # silver-path rotation (goldrush_path.cpp:156-187): the
-                    # device scan stopped after the rotating read; reset the
-                    # filter here and resubmit the remainder of the batch
-                    if dec in (1, 2) and cfg.silver_path and \
-                            target_bases < inserted_bases:
-                        assert inserted_bases == int(scal[1]), \
-                            (inserted_bases, int(scal[1]))
-                        st.paths_completed += 1
-                        curr_path += 1
-                        if cfg.max_paths < curr_path:
-                            done = True
-                            # the reference exit(0)s here; we stop consuming
-                            st.valid_reads -= 1  # exit happens before ++valid
-                            resume_at = None
-                            break
-                        inserted_bases = 0
-                        ids_inserted = 0
-                        st.reads_in_path = 0
-                        st.inserted_bases_in_path = 0
-                        st.phred_sum_in_path = 0.0
-                        self.writers[-1].close()
-                        self._open_writer(curr_path)
-                        self._reset_state()
-                        resume_at = i + 1
-                        break
-                if resume_at is None:
-                    if not done:
-                        ids_inserted = int(scal[0])
-                        assert inserted_bases == int(scal[1]), \
-                            (inserted_bases, int(scal[1]))
-                    return
-                batch = batch[resume_at:]
+        pending = []
+        for rec in self._eligible(path):
+            pending.append(rec)
+            if len(pending) >= cfg.batch_reads:
+                submit(pending)
+                pending = []
+        if pending:
+            submit(pending)
 
-        with ingest.ReadStream(path) as rs:
-            for rec in rs.records():
-                if done:
+        # ---- fetch everything at once (consume never runs again) ---------
+        outs = [np.asarray(o) for _, _, o in plans]
+        scal = np.asarray(scal_d)
+
+        # ---- replay pass ---------------------------------------------------
+        target_bases = cfg.target_bases()
+        inserted_bases = 0
+        curr_path = 1
+        done = False
+        self._open_writer(curr_path)
+        bi = ri = 0
+        for r in self._eligible(path):
+            if done or bi >= len(plans):
+                break
+            if ri >= plans[bi][0]:
+                bi += 1
+                ri = 0
+                if bi >= len(plans):
                     break
-                if rec.length < cfg.min_length or \
-                        rec.id in self.filter_out:
-                    continue
-                pending.append(rec)
-                if len(pending) >= cfg.batch_reads:
-                    flush(pending)
-                    pending = []
+            _, T, _ = plans[bi]
+            dec, ts, te, na, q, h, m, ov = (int(x) for x in outs[bi][ri])
+            ri += 1
+            # effective tile count is capped at the bucket limit (reads
+            # longer than max_tiles*TL are classified on their first
+            # max_tiles tiles; the reference has no cap)
+            num_tiles = min(r.length, T * TL + TL - 1) // TL
+            st.total_tiles += num_tiles
+            st.queries += q
+            st.hits += h
+            st.misses += m
+            st.vote_overflow += ov
+            st.assigned_tiles += na
+            st.unassigned_tiles += num_tiles - na
+            if dec == 1:        # recruited whole read
+                qual = r.qual_bytes()
+                self.writers[-1].write(r.id, "_untrimmed",
+                                       r.seq_bytes(), qual)
+                inserted_bases += r.length
+                st.inserted_bases_in_path += r.length
+                st.reads_in_path += 1
+                st.recruits += 1
+                if qual is not None:
+                    st.phred_sum_in_path += r.phred_sum
+            elif dec == 2:      # recruited trimmed
+                rseq, rqual = r.seq_bytes(), r.qual_bytes()
+                if te == num_tiles - 1:
+                    seq = rseq[ts * TL:]
+                    qual = rqual[ts * TL:] if rqual else None
+                else:
+                    end = ts * TL + (te - ts + 1) * TL
+                    seq = rseq[ts * TL:end]
+                    qual = rqual[ts * TL:end] if rqual else None
+                self.writers[-1].write(r.id, "_trimmed", seq, qual)
+                inserted_bases += len(seq)
+                st.inserted_bases_in_path += len(seq)
+                st.reads_in_path += 1
+                st.recruits += 1
+                if qual is not None:
+                    st.phred_sum_in_path += sum_phred(
+                        np.frombuffer(qual, dtype=np.uint8))
+            st.valid_reads += 1
+            # silver rotation bookkeeping mirrors the in-scan reset
+            # (goldrush_path.cpp:156-187)
+            if dec in (1, 2) and cfg.silver_path and \
+                    target_bases < inserted_bases:
+                st.paths_completed += 1
+                curr_path += 1
+                if cfg.max_paths < curr_path:
+                    done = True
+                    # the reference exit(0)s here; we stop consuming
+                    st.valid_reads -= 1   # exit happens before ++valid
+                    break
+                inserted_bases = 0
+                st.reads_in_path = 0
+                st.inserted_bases_in_path = 0
+                st.phred_sum_in_path = 0.0
+                self.writers[-1].close()
+                self._open_writer(curr_path)
         if not done:
-            flush(pending)
+            assert inserted_bases == int(scal[1]), \
+                (inserted_bases, int(scal[1]))
+            assert curr_path == int(scal[2]), (curr_path, int(scal[2]))
         for w in self.writers:
             w.close()
         if cfg.silver_path and cfg.max_paths > curr_path:

@@ -29,8 +29,12 @@ class TigmintParams:
     span: int = 2
     dist: int = 500
     cut: int = 250
-    k: int = 32
-    w: int = 100
+    # anchor density must keep the expected anchor gap well under `dist` at
+    # ONT error rates, or every molecule shreds and clean contigs overcut:
+    # P(20-mer clean | 5% read err, 1% draft err) ~ 0.29, so anchors land
+    # every ~w/0.29 ~ 55 bp << dist (validated in tools/downstream_validate)
+    k: int = 20
+    w: int = 16
     min_anchors: int = 4
     min_piece: int = 1000
 

@@ -33,6 +33,7 @@ def kmer_set(seq: bytes, k: int = K_ID) -> set:
 
 
 def identity(seq: bytes, truth_kmers: set, k: int = K_ID) -> float:
+    seq = seq.upper()          # gap fills are soft-masked lowercase
     n = max(len(seq) - k + 1, 1)
     hits = sum(seq[i:i + k] in truth_kmers for i in range(n))
     return hits / n
@@ -119,8 +120,8 @@ def main():
             if b - a >= K_ID:
                 fill_id.append(identity(s.seq[a:b], truth))
     print(f"| ntlink | joins recovered | {joins}/{n_contig - 1} |")
-    print(f"| ntlink | N50 before -> after | {st_in['n50']} -> "
-          f"{st_out['n50']} |")
+    print(f"| ntlink | N50 before -> after | {st_in['N50']} -> "
+          f"{st_out['N50']} |")
     print(f"| ntlink | gap-fill identity | "
           f"{np.mean(fill_id) if fill_id else float('nan'):.4f} "
           f"({len(fill_id)} gaps) |", flush=True)
