@@ -65,6 +65,10 @@ class EngineStats:
     inserted_bases_in_path: int = 0
     wall_fill_s: float = 0.0
     wall_assign_s: float = 0.0
+    wall_submit_s: float = 0.0       # assign: device submit pass
+    wall_submit_first_s: float = 0.0  # first batch (compile) per bucket
+    wall_replay_s: float = 0.0       # assign: host replay pass
+    num_batches: int = 0
 
 
 def _bucket_for(num_tiles: int, cap: int) -> int:
@@ -659,6 +663,8 @@ class GoldenPathEngine:
                 full_lengths[i] = r.length
             if cfg.debug:
                 self._debug_dump(codes, lengths, batch, T)
+            tb = time.time()
+            first = (Bpad, T) not in self._consume_fn
             fn = self._consume_for(Bpad, T)
             filt = self.cstate if self.compressed else self.state
             filt, out_d, scal_d = fn(filt, jnp.asarray(codes),
@@ -668,6 +674,10 @@ class GoldenPathEngine:
                 self.cstate = filt
             else:
                 self.state = filt
+            if first:
+                jax.block_until_ready(scal_d)
+                st.wall_submit_first_s += time.time() - tb
+            st.num_batches += 1
             plans.append((B, T, out_d))
 
         pending = []
@@ -678,8 +688,12 @@ class GoldenPathEngine:
                 pending = []
         if pending:
             submit(pending)
+        if plans:
+            jax.block_until_ready(scal_d)
+        st.wall_submit_s += time.time() - t0
 
         # ---- fetch everything at once (consume never runs again) ---------
+        t1 = time.time()
         outs = [np.asarray(o) for _, _, o in plans]
         scal = np.asarray(scal_d)
 
@@ -766,6 +780,7 @@ class GoldenPathEngine:
         if cfg.silver_path and cfg.max_paths > curr_path:
             print(f"WARNING: Expected {cfg.max_paths} silver paths, "
                   f"but only {curr_path} generated.")
+        st.wall_replay_s += time.time() - t1
         st.wall_assign_s += time.time() - t0
 
     # ------------------------------------------------------------------

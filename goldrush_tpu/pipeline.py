@@ -153,7 +153,13 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                     mk, mw = min(32, cfg.polish_k), cfg.polish_w
                 else:
                     mk, mw = 15, 10
-                pp = polish.PolishParams(k=min(32, cfg.polish_k))
+                # large-k-then-small-k schedule: the large k is specific,
+                # the small k stays solid where ONT error thins large-k
+                # read support (measured on synthetic truth in
+                # tools/downstream_validate.py)
+                pk = min(32, cfg.polish_k)
+                pp = polish.PolishParams(
+                    k=pk, schedule=((pk, 4), (20, 6)))
                 out, edits = polish.run_polish(contigs, reads, pp,
                                                mapper_k=mk, mapper_w=mw)
             with _atomic_stage(files["polished"]) as tmp:

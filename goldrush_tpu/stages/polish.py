@@ -41,10 +41,24 @@ BASES = b"ACGT"
 class PolishParams:
     k: int = 24
     solid_min: int = 2
-    rounds: int = 3
+    rounds: int = 6
     occupancy_factor: int = 8   # table slots per expected distinct k-mer
-    min_score: float = 0.55     # fraction of edited-window k-mers solid
+    min_score: float = 0.3      # absolute floor; acceptance is relative to
+                                # the unedited window's score
+    min_gain: int = 3           # an edit must make >= this many additional
+                                # window k-mers solid (a true single-base fix
+                                # gains ~k; guards truncated end windows
+                                # where 1 accidental k-mer beats an empty
+                                # noop)
     batch: int = 64
+    # multi-k schedule ((k, rounds), ...): smaller k first resolves dense
+    # error clusters (absent runs merge when errors are < k apart and a
+    # large-k window never beats its noop), larger k refines.  Empty ->
+    # single (k, rounds) stage.
+    schedule: tuple = ()
+
+    def stages(self) -> tuple:
+        return self.schedule or ((self.k, self.rounds),)
 
 
 def _pow2(n: int, floor: int = 1 << 10) -> int:
@@ -207,11 +221,21 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
                 last = b
         if not sites:
             break
-        # batch-score all candidates of all sites
-        cands = []           # (site_idx, tag, window, n_kmers)
+        # batch-score all candidates of all sites; the UNEDITED window is
+        # scored too ("noop") so acceptance is relative — with clustered
+        # errors an edited window still contains absent k-mers from the
+        # neighbor error, and an absolute gate would reject the true fix
+        cands = []           # (site_idx, b, tag, window)
         for si, b in enumerate(sites):
-            for tag, win in _candidate_edits(arr, b, p.k):
-                cands.append((si, b, tag, win))
+            lo = max(b - p.k + 1, 0)
+            hi = min(b + p.k, len(arr))
+            cands.append((si, b, ("noop", 0), arr[lo:hi]))
+            # run-end localization jitters by one for indel-type errors:
+            # also try the neighbors
+            for bb in (b - 1, b, b + 1):
+                if 0 <= bb < len(arr):
+                    for tag, win in _candidate_edits(arr, bb, p.k):
+                        cands.append((si, bb, tag, win))
         W = max(len(c[3]) for c in cands)
         wins = np.zeros((len(cands), max(W, p.k + 1)), dtype=np.uint8)
         lens = np.zeros(len(cands), dtype=np.int64)
@@ -220,16 +244,25 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
             lens[i] = len(win)
         cnt, valid = table.query_batch(wins, lens, p.k)
         solid_w = (cnt >= p.solid_min) & valid
-        scores = solid_w.sum(1) / np.maximum(valid.sum(1), 1)
-        # pick best candidate per site
-        best: dict[int, tuple[float, int, tuple]] = {}
+        nsolid = solid_w.sum(1)
+        scores = nsolid / np.maximum(valid.sum(1), 1)
+        # pick best candidate per site; accept only if it beats the
+        # unedited window by >= min_gain solid k-mers AND clears the floor
+        best: dict[int, tuple[float, int, tuple, int]] = {}
+        noop: dict[int, tuple[float, int]] = {}
         for i, (si, b, tag, _) in enumerate(cands):
             s = float(scores[i])
+            if tag[0] == "noop":
+                noop[si] = (s, int(nsolid[i]))
+                continue
             if si not in best or s > best[si][0]:
-                best[si] = (s, b, tag)
+                best[si] = (s, b, tag, int(nsolid[i]))
         # apply accepted edits right-to-left
-        edits = sorted((v for v in best.values() if v[0] >= p.min_score),
-                       key=lambda v: -v[1])
+        edits = sorted(
+            ((s, b, tag) for si, (s, b, tag, ns) in best.items()
+             if s > noop.get(si, (0.0, 0))[0] and s >= p.min_score
+             and ns - noop.get(si, (0.0, 0))[1] >= p.min_gain),
+            key=lambda v: -v[1])
         if not edits:
             break
         pieces = arr.copy()
@@ -251,6 +284,25 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
     return np.frombuffer(BASES, np.uint8)[arr].tobytes(), total_edits
 
 
+def polish_seq(seq: bytes, reads: list[bytes], p: PolishParams,
+               tables: dict | None = None) -> tuple[bytes, int]:
+    """Polish one sequence through the (k, rounds) schedule; per-k read
+    tables are built lazily and may be shared via ``tables``."""
+    import dataclasses
+    total = 0
+    for k, rounds in p.stages():
+        pp = dataclasses.replace(p, k=k, rounds=rounds, schedule=())
+        if tables is not None:
+            if k not in tables:
+                tables[k] = build_read_table(reads, pp)
+            table = tables[k]
+        else:
+            table = build_read_table(reads, pp)
+        seq, ne = polish_contig(seq, table, pp)
+        total += ne
+    return seq, total
+
+
 def run_polish(contigs: list[tuple[str, bytes]], reads: list[bytes],
                p: PolishParams | None = None,
                mapper_k: int | None = None, mapper_w: int = 10
@@ -267,9 +319,9 @@ def run_polish(contigs: list[tuple[str, bytes]], reads: list[bytes],
     out = []
     edits = 0
     if mapper_k is None:
-        table = build_read_table(reads, p)
+        tables: dict = {}
         for name, seq in contigs:
-            ns, ne = polish_contig(seq, table, p)
+            ns, ne = polish_seq(seq, reads, p, tables)
             out.append((name, ns))
             edits += ne
         return out, edits
@@ -282,8 +334,7 @@ def run_polish(contigs: list[tuple[str, bytes]], reads: list[bytes],
             assigned[hits[0].tid].append(read)
     for (name, seq), rds in zip(contigs, assigned):
         if rds:
-            table = build_read_table(rds, p)
-            ns, ne = polish_contig(seq, table, p)
+            ns, ne = polish_seq(seq, rds, p)
         else:
             ns, ne = seq, 0            # no evidence -> leave unpolished
         out.append((name, ns))
