@@ -139,12 +139,20 @@ class ReadStream:
                         continue
                 if self._stop.is_set():
                     return
-            self._q.put(None)
+            self._relay(None)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            self._relay(e)
+
+    def _relay(self, item):
+        """Enqueue the terminal item (sentinel or exception) without ever
+        blocking forever: if the consumer stopped iterating with a full
+        queue, the timeout-and-check-_stop loop lets the daemon exit."""
+        while not self._stop.is_set():
             try:
-                self._q.put(e)
-            except Exception:
-                pass
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def __iter__(self):
         if self._q is None:

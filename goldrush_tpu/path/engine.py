@@ -144,11 +144,11 @@ class GoldenPathEngine:
                   file=sys.stderr)
             with open(cfg.filter_file) as f:
                 self.filter_out.update(f.read().split())
-        if cfg.debug:
-            # --debug dumps per-pass tile states per read; force strict
-            # sequential batches so every dump reflects the live filter
-            # (the reference consumer is sequential, goldrush_path.cpp:1229)
-            cfg.batch_reads = 1
+        # --debug dumps per-pass tile states per read; force strict
+        # sequential batches so every dump reflects the live filter
+        # (the reference consumer is sequential, goldrush_path.cpp:1229).
+        # Kept as engine state — cfg is the caller's object, never mutated.
+        self.batch_reads = 1 if cfg.debug else cfg.batch_reads
         self.phred_min = cfg.phred_min
         self.stats = EngineStats()
         self.writers: list[fastq.PathWriter] = []
@@ -646,7 +646,7 @@ class GoldenPathEngine:
             nonlocal scal_d
             B = len(batch)
             T = max(_bucket_for(r.length // TL, cap) for r in batch)
-            Bpad = max(B, cfg.batch_reads)
+            Bpad = max(B, self.batch_reads)
             if self.mesh is not None:       # data axis must divide the batch
                 d = int(self.cfg.devices)
                 Bpad = -(-Bpad // d) * d
@@ -683,7 +683,7 @@ class GoldenPathEngine:
         pending = []
         for rec in self._eligible(path):
             pending.append(rec)
-            if len(pending) >= cfg.batch_reads:
+            if len(pending) >= self.batch_reads:
                 submit(pending)
                 pending = []
         if pending:

@@ -158,8 +158,11 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                 # read support (measured on synthetic truth in
                 # tools/downstream_validate.py)
                 pk = min(32, cfg.polish_k)
-                pp = polish.PolishParams(
-                    k=pk, schedule=((pk, 4), (20, 6)))
+                # the two-stage schedule only makes sense when pk > 20;
+                # otherwise (pk <= 20) a single stage at pk avoids a
+                # degenerate duplicate/inverted-k second stage
+                sched = ((pk, 4), (20, 6)) if pk > 20 else ((pk, 10),)
+                pp = polish.PolishParams(k=pk, schedule=sched)
                 out, edits = polish.run_polish(contigs, reads, pp,
                                                mapper_k=mk, mapper_w=mw)
             with _atomic_stage(files["polished"]) as tmp:
