@@ -54,7 +54,13 @@ class PathConfig:
     # --- TPU-specific execution knobs (no reference equivalent) ---
     batch_reads: int = 32           # reads classified per device batch (1 = strict
                                     # sequential parity with the reference consumer)
-    max_tiles: int = 256            # tile-axis padding cap per batch bucket
+    max_tiles: int = 2048           # largest tile bucket (2048 tiles = 2 Mb
+                                    # reads, beyond any ONT read; ultralong
+                                    # reads run in small batches under the
+                                    # engine tile budget — no silent
+                                    # classification cap, matching the
+                                    # reference's uncapped loop,
+                                    # goldrush_path.cpp:529-544)
     vote_topk: int = 32             # per-tile candidate (id,count) slots kept for
                                     # the smoothing passes (reference keeps all ids
                                     # with count>2; overflow is counted + logged)

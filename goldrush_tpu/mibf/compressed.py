@@ -320,9 +320,11 @@ def insert_read_sorted(state: CompressedState, keys: jax.Array,
     gather_idx = jnp.where(valid, r, pop_sentinel)
     idx = jnp.arange(N, dtype=jnp.int64)
     dummy = jnp.int64(pop_sentinel + 1) + idx
+    # plain scatter-add everywhere (no unique_indices, no .set): the general
+    # scatter-add is the only fast scatter on this TPU backend (see
+    # mibf.insert_read_sorted)
     c_idx = jnp.where(run_end, r, dummy)
-    counts = counts.at[c_idx].add(j_total.astype(jnp.uint32), mode="drop",
-                                  unique_indices=True)
+    counts = counts.at[c_idx].add(j_total.astype(jnp.uint32), mode="drop")
     post = counts[gather_idx]
     cnt = post - j_total.astype(jnp.uint32) + j.astype(jnp.uint32)
     rand = r.astype(jnp.uint32) ^ block_id
@@ -331,12 +333,12 @@ def insert_read_sorted(state: CompressedState, keys: jax.Array,
     smax = jnp.flip(jax.lax.cummax(enc) - fseg * BIG) - 1
     is_last = accept & (smax == idx)
     w_idx = jnp.where(is_last, r, dummy)
+    old = ids_arr[gather_idx]
     if assume_present:
         new_word = block_id
     else:
-        new_word = (ids_arr[gather_idx] & SAT_BIT) | block_id
-    ids_arr = ids_arr.at[w_idx].set(new_word, mode="drop",
-                                    unique_indices=True)
+        new_word = (old & SAT_BIT) | block_id
+    ids_arr = ids_arr.at[w_idx].add(new_word - old, mode="drop")
     return CompressedState(bitrank=state.bitrank, supers=state.supers,
                            ids=ids_arr, counts=counts)
 

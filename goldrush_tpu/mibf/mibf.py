@@ -595,10 +595,13 @@ def insert_read_sorted(state: MibfState, keys: jax.Array, tile_lo: jax.Array,
              + jnp.arange(N, dtype=idx_dtype))
     # counts: scatter-add the run totals FIRST, then gather the post values
     # back — the gather depends on the scatter (no anti-dependency copy) and
-    # the pre-value every block saw is reconstructed as post - J_total + j
+    # the pre-value every block saw is reconstructed as post - J_total + j.
+    # Scatters throughout use PLAIN add (no unique_indices, never .set): on
+    # the TPU backend the general scatter-add runs ~40x faster than either
+    # the unique-indices path or any .set scatter (measured
+    # tools/profile_scan.py micro: 69 ms vs ~3 s per 6.1M updates)
     c_idx = jnp.where(run_end, slot, dummy)
-    counts = counts.at[c_idx].add(j_total.astype(jnp.uint32), mode="drop",
-                                  unique_indices=True)
+    counts = counts.at[c_idx].add(j_total.astype(jnp.uint32), mode="drop")
     post = counts[gather_idx]
     cnt = post - j_total.astype(jnp.uint32) + j.astype(jnp.uint32)
     rand = slot.astype(jnp.uint32) ^ block_id
@@ -609,11 +612,15 @@ def insert_read_sorted(state: MibfState, keys: jax.Array, tile_lo: jax.Array,
     smax = jnp.flip(jax.lax.cummax(enc) - fseg * BIG) - 1
     is_last = accept & (smax == idx)
     w_idx = jnp.where(is_last, slot, dummy)
+    # the id overwrite as a scatter-ADD of (new - old) deltas at the winning
+    # entries (unique by construction, so add == set; uint32 wraparound makes
+    # the delta exact), which keeps every filter scatter on the fast path
+    old = words[gather_idx]
     if assume_present:
         new_word = PRESENT_BIT | block_id
     else:
-        new_word = (words[gather_idx] & (SAT_BIT | PRESENT_BIT)) | block_id
-    words = words.at[w_idx].set(new_word, mode="drop", unique_indices=True)
+        new_word = (old & (SAT_BIT | PRESENT_BIT)) | block_id
+    words = words.at[w_idx].add(new_word - old, mode="drop")
     return MibfState(words=words, counts=counts)
 
 

@@ -39,7 +39,11 @@ from ..ops.phred import (MEDIAN_SAMPLES_NEEDED, MINIMUM_PHRED_THRESHOLD,
 from ..ops.seeds import make_seed_pattern
 from .classify import classify_batch
 
-BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+# per-batch tile budget: a batch is cut so B_pad * T stays under this, so
+# rare ultralong reads (large T buckets) run in small batches instead of
+# padding a whole 64-read batch to their bucket
+TILE_BUDGET = 4096
 
 
 @dataclass
@@ -515,14 +519,20 @@ class GoldenPathEngine:
             keys = build_keys(filt, codes, lengths, slots_q)
 
             def body(carry, xs):
-                filt, ids_ins, ins_bases, path_idx, done, changed = carry
+                (filt, ids_ins, ins_bases, path_idx, done, changed,
+                 reset_seen) = carry
                 (sq, ok, kz, L, n_t, dec0, ts0, te0, na0,
                  q0, h0, m0, ov0) = xs
                 live = changed & (done == 0)
                 if not exact:
                     # optimistic: a read the stale batch classified "drop"
-                    # stays dropped; only candidates re-probe live
-                    live = live & (dec0 != 0)
+                    # stays dropped; only candidates re-probe live.  An
+                    # in-batch silver reset ALWAYS invalidates the rest of
+                    # the batch (reset_seen), drops included — against the
+                    # freshly reset filter the sequential reference would
+                    # recruit them as whole unassigned reads
+                    live = ((changed & (dec0 != 0)) | reset_seen) \
+                        & (done == 0)
 
                 def use_live(_):
                     v = probe(filt, sq[None], ok[None])
@@ -569,12 +579,13 @@ class GoldenPathEngine:
                 ids_ins = jnp.where(do_reset, 0, ids_ins)
                 ins_bases = jnp.where(do_reset, 0, ins_bases)
                 changed = changed | (dec > 0)
+                reset_seen = reset_seen | do_reset
                 out = jnp.stack([
                     dec.astype(jnp.int64), ts64, te64, na.astype(jnp.int64),
                     q.astype(jnp.int64), h.astype(jnp.int64),
                     m.astype(jnp.int64), ov.astype(jnp.int64)])
                 return (filt, ids_ins, ins_bases, path_idx, done,
-                        changed), out
+                        changed, reset_seen), out
 
             xs = (slots_q, frame_ok, keys,
                   full_lengths.astype(jnp.int64), n_tiles,
@@ -591,9 +602,9 @@ class GoldenPathEngine:
                 xs = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(a, repl), xs)
             carry0 = (filt, scal0[0], scal0[1], scal0[2], scal0[3],
-                      jnp.bool_(False))
-            (filt, ids_ins, ins_bases, path_idx, done, _), out = jax.lax.scan(
-                body, carry0, xs)
+                      jnp.bool_(False), jnp.bool_(False))
+            (filt, ids_ins, ins_bases, path_idx, done, _, _), out = \
+                jax.lax.scan(body, carry0, xs)
             scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
             return filt, out, scal
 
@@ -646,7 +657,11 @@ class GoldenPathEngine:
             nonlocal scal_d
             B = len(batch)
             T = max(_bucket_for(r.length // TL, cap) for r in batch)
+            # pad to a power-of-two batch (shape reuse across batches) but
+            # never past the tile budget: ultralong-read batches stay small
             Bpad = max(B, self.batch_reads)
+            if Bpad * T > TILE_BUDGET:
+                Bpad = 1 << max(0, (B - 1)).bit_length()
             if self.mesh is not None:       # data axis must divide the batch
                 d = int(self.cfg.devices)
                 Bpad = -(-Bpad // d) * d
@@ -680,12 +695,26 @@ class GoldenPathEngine:
             st.num_batches += 1
             plans.append((B, T, out_d))
 
+        # batching: reads group in ORDER (the golden path is an online
+        # algorithm); a batch closes at batch_reads, or earlier when padding
+        # every pending read to the batch's tile bucket would blow the tile
+        # budget (ultralong reads then run in small batches instead of
+        # inflating a whole batch to their bucket — no cap, no reordering)
         pending = []
+        pend_T = 1
         for rec in self._eligible(path):
+            T_r = _bucket_for(rec.length // TL, cap)
+            T_new = max(pend_T, T_r)
+            if pending and (len(pending) + 1) * T_new > TILE_BUDGET:
+                submit(pending)
+                pending = []
+                T_new = T_r
             pending.append(rec)
+            pend_T = T_new
             if len(pending) >= self.batch_reads:
                 submit(pending)
                 pending = []
+                pend_T = 1
         if pending:
             submit(pending)
         if plans:

@@ -195,3 +195,43 @@ def test_recheck_optimistic_smoke(dataset, batch1_run):
     assert jacc >= 0.7, jacc
     total = sum(len(r.seq) for r in got)
     assert 0.8 * len(genome) <= total <= 1.8 * len(genome)
+
+
+def test_ultralong_reads_uncapped(tmp_path):
+    """Reads beyond the old 256-tile bucket cap classify on their FULL
+    length (the reference has no cap, goldrush_path.cpp:529-544): a 90 kb
+    read at tile_length=250 spans 360 tiles -> bucket 512; engine ==
+    oracle bit-for-bit, and the tile-budget batching keeps read order."""
+    G = 120_000
+    genome = synth.random_genome(G, seed=31)
+    reads = synth.simulate_reads(genome, n_reads=60, read_len=3000, seed=32,
+                                 err_rate=0.0, phred=20)
+    # interleave three ultralong reads (they must stay in stream order)
+    ul = synth.simulate_reads(genome, n_reads=3, read_len=90_000, seed=33,
+                              err_rate=0.0, phred=20)
+    # the leading ultralong read hits an empty filter -> recruited whole on
+    # its full 360-tile grid; the others interleave mid-stream
+    mixed = ul[:1] + reads[:30] + ul[1:2] + reads[30:] + ul[2:]
+    path = str(tmp_path / "ul.fq")
+    synth.write_fastq(path, mixed)
+    over = dict(genome_size=G, min_length=1000)
+    cfg = PathConfig(input=path, silver_path=False,
+                     prefix_file=str(tmp_path / "tpu"),
+                     batch_reads=8, **{**CFG, **over})
+    eng = GoldenPathEngine(cfg)
+    tstats = eng.run()
+    ocfg = PathConfig(input=path, silver_path=False,
+                      prefix_file=str(tmp_path / "oracle"), **{**CFG, **over})
+    oeng = OracleEngine(ocfg)
+    ostats = oeng.run()
+    want = recruited_from_oracle(ostats)
+    got = recruited_from_files(str(tmp_path / "tpu"), silver=False)
+    assert len(got) == len(want), (len(got), len(want))
+    for rec, (rid, sfx, seq) in zip(got, want):
+        assert rec.id == rid + sfx
+        assert rec.seq == seq
+    # at least one ultralong read must actually have been classified on a
+    # >256-tile grid (the old cap would have truncated it)
+    assert any(len(r[2]) > 256 * CFG["tile_length"] for r in want
+               if r[0].startswith("r")), "dataset lost its ultralong recruit"
+    assert tstats.queries == sum(s.queries for s in ostats)

@@ -186,6 +186,43 @@ if MODE == "micro":
         dt = (time.time() - t0) / n
         print(f"{name:35s} {dt*1000:9.2f} ms")
 
+    idxs32 = idxs.astype(jnp.int32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scat32_add(words, idxs, vals):
+        return words.at[idxs].add(vals, mode="drop")
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scat32_set(words, idxs, vals):
+        return words.at[idxs].set(vals, mode="drop")
+
+    @jax.jit
+    def gath32(words, idxs):
+        return words[idxs].sum()
+
+    w2 = state.counts
+    out = scat32_add(w2, idxs32, vals); float(_to_scalar(out.sum()))
+    t0 = time.time()
+    for _ in range(4):
+        out = scat32_add(out, idxs32, vals)
+    float(_to_scalar(out.sum()))
+    print(f"{'scatter-add 6.1M i32 idx':35s} {(time.time()-t0)/4*1000:9.2f} ms")
+    t0 = time.time()
+    for _ in range(4):
+        out = scat32_set(out, idxs32, vals)
+    float(_to_scalar(out.sum()))
+    print(f"{'scatter-set 6.1M i32 idx':35s} {(time.time()-t0)/4*1000:9.2f} ms")
+    t_small("gather 6.1M i32 idx from 570MB", gath32, out, idxs32)
+    small_tab = jnp.arange(1 << 22, dtype=jnp.uint32)     # 16 MB
+    t_small("gather 6.1M i32 from 16MB",
+            gath32, small_tab, idxs32 & jnp.int32((1 << 22) - 1))
+    med_tab = jnp.arange(1 << 25, dtype=jnp.uint32)       # 128 MB
+    t_small("gather 6.1M i32 from 128MB",
+            gath32, med_tab, idxs32 & jnp.int32((1 << 25) - 1))
+    tab64 = jnp.zeros(size + 1, dtype=jnp.uint64)         # 1.14 GB u64
+    t_small("gather 6.1M i32 from u64 1.1GB", gath32, tab64, idxs32)
+    q = idxs32[: N // 24]                                 # stride-8 1-seed
+    t_small("gather 256k i32 from 570MB", gath32, out, q)
     t_small("sort 6.1M u64", jax.jit(lambda k: jax.lax.sort(k)), keys64)
     t_small("sort 6.1M u64 + payload",
             jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)),
@@ -230,8 +267,55 @@ if MODE == "micro":
     import sys as _s
     _s.exit(0)
 
-if MODE == "smallfilt":
-    pass  # size override handled above via argv
+if MODE == "stages":
+    # breakdown of the batched classify path
+    @jax.jit
+    def s_hash(filt, codes, lengths):
+        from goldrush_tpu.ops.nthash import hash_positions as hp
+        return filt, hp(codes, fam, T * TL).sum()
+
+    @jax.jit
+    def s_grid(filt, codes, lengths):
+        s, ok = dm.build_slot_grid(codes, lengths, fam, params, T)
+        return filt, (s.sum(), ok.sum())
+
+    @jax.jit
+    def s_gather(filt, codes, lengths):
+        s, ok = dm.build_slot_grid(codes, lengths, fam, params, T)
+        H = params.probe_seeds or params.h
+        tot = jnp.uint32(0)
+        for i in range(H):
+            tot += filt.words[s[:, i, :]].sum()
+        return filt, tot
+
+    @jax.jit
+    def s_vote(filt, codes, lengths):
+        s, ok = dm.build_slot_grid(codes, lengths, fam, params, T)
+        v = probe(filt, s, ok)
+        return filt, (v.curr_id.sum(), v.top_count.sum())
+
+    @jax.jit
+    def s_classify(filt, codes, lengths):
+        n_tiles = (lengths // TL).astype(jnp.int32)
+        s, ok = dm.build_slot_grid(codes, lengths, fam, params, T)
+        v = probe(filt, s, ok)
+        r = classify(v, n_tiles)
+        return filt, (r.decision, r.num_assigned)
+
+    @jax.jit
+    def s_keys(filt, codes, lengths):
+        s, ok = dm.build_slot_grid(codes, lengths, fam, params, T)
+        return filt, dm.build_insert_keys(s, T).sum()
+
+    state = timeit("hash only", s_hash, state)
+    state = timeit("hash+grid", s_grid, state)
+    state = timeit("hash+grid+gather", s_gather, state)
+    state = timeit("hash+grid+gather+vote", s_vote, state)
+    state = timeit("full classify", s_classify, state)
+    state = timeit("grid+rowsort keys", s_keys, state)
+    import sys as _s
+    _s.exit(0)
+
 state = timeit("A batched classify+keys", bc2, state)
 state = timeit("B scan insert-only", make_scan(False, True), state)
 state = timeit("C scan live-probe-only", make_scan(True, False), state)
