@@ -55,6 +55,12 @@ def parse_args(argv: list[str]) -> tuple[str, PipelineConfig, dict]:
         if k in ("frame_stride", "probe_seeds"):
             extra[k] = int(v)
             continue
+        if k in ("save_mibf", "load_mibf", "trace_dir"):
+            # engine-level passthrough (applied to the FIRST goldrush-path
+            # stage that runs); save/load are the checkpoint analog of the
+            # reference's dev-only MIBloomFilter::store
+            extra[k] = v
+            continue
         if k not in fields:
             raise SystemExit(f"Unknown parameter: {k}")
         if k in _STRS:
@@ -74,7 +80,8 @@ def print_help() -> None:
     print("Commands:", ", ".join(COMMANDS))
     print("Key parameters: reads=<prefix> G=<genome size> t=<threads> "
           "k w tile b u a o x h s m M r P d span dist cut k_ntLink "
-          "w_ntLink rounds z p frame_stride probe_seeds")
+          "w_ntLink rounds z p frame_stride probe_seeds "
+          "save_mibf=<npz> load_mibf=<npz> trace_dir=<dir>")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -102,7 +109,10 @@ def main(argv: list[str] | None = None) -> int:
                 break
     out = run_pipeline(cfg, workdir=workdir, until=until,
                        frame_stride=extra.get("frame_stride", 1),
-                       probe_seeds=extra.get("probe_seeds", 0))
+                       probe_seeds=extra.get("probe_seeds", 0),
+                       engine_extra={k: v for k, v in extra.items()
+                                     if k in ("save_mibf", "load_mibf",
+                                              "trace_dir")})
     if "final" in out:
         final = os.path.join(workdir, out["final"])
         link = os.path.basename(out["final"])

@@ -89,8 +89,22 @@ class PathConfig:
                                     # drift in recruit-dense phases, higher
                                     # throughput).  A silver reset always
                                     # invalidates the rest of the batch.
-    use_pallas: bool = True         # fused Pallas probe kernel where available
+    save_mibf: str = ""             # after pass 1, persist the filled filter
+                                    # (presence+counters) to this .npz — the
+                                    # working superset of the reference's
+                                    # dev-only MIBloomFilter::store
+                                    # (MIBloomFilter.hpp:123-160, no loader)
+    load_mibf: str = ""             # skip pass 1, resume from a saved filter
+                                    # (direct mode only; geometry must match)
+    trace_dir: str = ""             # jax.profiler trace dir for run()
+                                    # (replaces the reference's wall-clock
+                                    # spans with real device traces)
     devices: int = 0                # 0 = all local devices
+    model_shards: int = 1           # bank the filter arrays over a 'model'
+                                    # mesh axis of this size (devices =
+                                    # data_shards * model_shards): the
+                                    # capacity lever for filters beyond one
+                                    # chip's HBM; 1 = replicated filter
 
     def validate(self) -> None:
         if self.kmer_size == 0:
@@ -116,6 +130,15 @@ class PathConfig:
             raise ValueError("frame_stride must be >= 1")
         if self.recheck not in ("exact", "optimistic"):
             raise ValueError(f"unknown recheck {self.recheck!r}")
+        if self.model_shards < 1:
+            raise ValueError("model_shards must be >= 1")
+        if (self.save_mibf or self.load_mibf) and \
+                self.mibf_mode != "direct":
+            raise ValueError("mibf save/load requires mibf_mode='direct'")
+        if self.devices > 1 and self.devices % self.model_shards:
+            raise ValueError(
+                f"devices ({self.devices}) must be divisible by "
+                f"model_shards ({self.model_shards})")
 
     def derived_hash_universe(self) -> int:
         """Hash-universe sizing heuristic (goldrush_path.cpp:1109-1123).

@@ -53,11 +53,10 @@ def fill_bytes(presence: jax.Array, hashes: jax.Array, valid: jax.Array,
     s = jax.lax.sort(slots.astype(jnp.int64))
     prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
     u_first = s != prev
-    dummy = (jnp.asarray(size + 1, dtype=s.dtype)
+    dummy = (jnp.asarray(presence.shape[0], dtype=s.dtype)
              + jnp.arange(s.shape[0], dtype=s.dtype))
     idx = jnp.where(u_first, s, dummy)
-    return presence.at[idx].set(jnp.uint8(1), mode="drop",
-                                unique_indices=True)
+    return presence.at[idx].max(jnp.uint8(1), mode="drop")
 
 
 def freeze(presence: np.ndarray | jax.Array, size: int) -> CompressedState:
@@ -81,11 +80,15 @@ def freeze(presence: np.ndarray | jax.Array, size: int) -> CompressedState:
     rel = (cum - np.repeat(super_base, words_per_super)[:nw]).astype(np.uint64)
     bitrank = rel << np.uint64(32) | bits.astype(np.uint64)
     bitrank = np.concatenate([bitrank, np.zeros(1, np.uint64)])
+    # rank arrays padded to a 1024 multiple so mesh axes divide the banked
+    # sharding; the sentinel rank is the LAST index (ids.shape[0]-1 -- all
+    # consumers derive it from the shape), real ranks stay < pop
+    alloc = -(-(pop + 1) // 1024) * 1024
     return CompressedState(
         bitrank=jnp.asarray(bitrank),
         supers=jnp.asarray(super_base.astype(np.uint64)),
-        ids=jnp.zeros(pop + 1, dtype=jnp.uint32),
-        counts=jnp.zeros(pop + 1, dtype=jnp.uint32),
+        ids=jnp.zeros(alloc, dtype=jnp.uint32),
+        counts=jnp.zeros(alloc, dtype=jnp.uint32),
     )
 
 

@@ -81,6 +81,14 @@ class MibfParams:
     def idx_dtype(self):
         return jnp.int32 if self.size + 1 < 2 ** 31 else jnp.int64
 
+    @property
+    def alloc(self):
+        """Array length: size real slots + 1 sentinel, padded to a 1024
+        multiple so any mesh axis divides the banked-filter sharding.
+        Padding slots are never probed (sentinel stays `size`) and never
+        written (rejected scatters route past the array length)."""
+        return -(-(self.size + 1) // 1024) * 1024
+
 
 class MibfState(NamedTuple):
     words: jax.Array           # uint32 [size + 1]
@@ -89,8 +97,8 @@ class MibfState(NamedTuple):
 
 def init_state(params: MibfParams) -> MibfState:
     return MibfState(
-        words=jnp.zeros(params.size + 1, dtype=jnp.uint32),
-        counts=jnp.zeros(params.size + 1, dtype=jnp.uint32),
+        words=jnp.zeros(params.alloc, dtype=jnp.uint32),
+        counts=jnp.zeros(params.alloc, dtype=jnp.uint32),
     )
 
 
@@ -126,11 +134,13 @@ def fill_presence(words: jax.Array, hashes: jax.Array, valid: jax.Array,
     s = jax.lax.sort(slots.astype(idx_dtype))
     prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
     u_first = s != prev
-    dummy = (jnp.asarray(size + 1, dtype=s.dtype)
+    # rejected writes route past the array length (mode="drop"); the
+    # sentinel slot (size) itself may be set by invalid frames — harmless,
+    # it is never probed as present (frame_ok masks it)
+    dummy = (jnp.asarray(words.shape[0], dtype=s.dtype)
              + jnp.arange(s.shape[0], dtype=s.dtype))
     idx = jnp.where(u_first, s, dummy)
-    return words.at[idx].set(jnp.uint32(PRESENT_BIT), mode="drop",
-                             unique_indices=True)
+    return words.at[idx].max(jnp.uint32(PRESENT_BIT), mode="drop")
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +472,7 @@ def insert_read(state: MibfState, slots: jax.Array, tile_lo: jax.Array,
     # then globally unique, XLA takes the vectorized unique-indices scatter
     # path instead of the serialized general scatter (~50 ms -> ~1 ms per
     # insert at production filter sizes)
-    dummy = (jnp.asarray(params.size + 1, dtype=slots.dtype)
+    dummy = (jnp.asarray(params.alloc, dtype=slots.dtype)
              + jnp.arange(H * W, dtype=slots.dtype))
     words0, counts0 = state
 
@@ -591,7 +601,7 @@ def insert_read_sorted(state: MibfState, keys: jax.Array, tile_lo: jax.Array,
     j_total = jnp.where(valid, c_end - run_base, 0)
     words, counts = state
     gather_idx = jnp.where(valid, slot, jnp.asarray(size, idx_dtype))
-    dummy = (jnp.asarray(size + 1, idx_dtype)
+    dummy = (jnp.asarray(params.alloc, idx_dtype)
              + jnp.arange(N, dtype=idx_dtype))
     # counts: scatter-add the run totals FIRST, then gather the post values
     # back — the gather depends on the scatter (no anti-dependency copy) and

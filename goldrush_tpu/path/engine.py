@@ -125,19 +125,39 @@ class GoldenPathEngine:
         self.cstate = None        # CompressedState after freeze
         self.state = dm.init_state(self.params)
         # multi-device execution (cfg.devices > 1): batch classification is
-        # data-parallel over the mesh, the miBF replicated (every device
-        # computes the identical insert — no sync traffic), the recruit scan
-        # sequential on replicated rows.  The TPU-native analog of the
-        # reference's -j thread scaling (goldrush_path.cpp:1101-1103).
+        # data-parallel over the 'data' mesh axis; the miBF either replicated
+        # (model_shards == 1: every device computes the identical insert — no
+        # sync traffic) or slot-BANKED over the 'model' axis
+        # (model_shards > 1: words/counts shard by slot range, XLA routes
+        # probe gathers/insert scatters with psum/local-masking collectives —
+        # the capacity lever for filters beyond one chip's HBM, the TP analog
+        # of SURVEY §5's distributed plan).  The reference's only analogous
+        # knob is RAM (README.md:115-123).
         self.mesh = None
-        self._shard_data = self._shard_repl = None
-        if cfg.devices > 1:
+        self._shard_data = self._shard_repl = self._shard_filt = None
+        self.data_shards = 1
+        if cfg.devices > 1 or cfg.model_shards > 1:
             from ..parallel.mesh import make_mesh
             from jax.sharding import NamedSharding, PartitionSpec
-            self.mesh = make_mesh(cfg.devices, data=cfg.devices, model=1)
+            n = cfg.devices if cfg.devices > 1 else cfg.model_shards
+            mm = cfg.model_shards
+            if n % mm:
+                raise ValueError(
+                    f"devices ({n}) must be divisible by model_shards ({mm})")
+            self.data_shards = n // mm
+            self.mesh = make_mesh(n, data=self.data_shards, model=mm)
             self._shard_data = NamedSharding(self.mesh,
                                              PartitionSpec("data"))
             self._shard_repl = NamedSharding(self.mesh, PartitionSpec())
+            self._shard_filt = (NamedSharding(self.mesh,
+                                              PartitionSpec("model"))
+                                if mm > 1 else self._shard_repl)
+            if not self.compressed:
+                self.state = dm.MibfState(
+                    words=jax.device_put(self.state.words,
+                                         self._shard_filt),
+                    counts=jax.device_put(self.state.counts,
+                                          self._shard_filt))
         # -f: read names to exclude from pass 2 (pass 1 still inserts their
         # presence bits — goldrush_path.cpp:1163-1170 loads the set, only
         # process_read consults it)
@@ -153,6 +173,11 @@ class GoldenPathEngine:
         # (the reference consumer is sequential, goldrush_path.cpp:1229).
         # Kept as engine state — cfg is the caller's object, never mutated.
         self.batch_reads = 1 if cfg.debug else cfg.batch_reads
+        # -j: host-side pipelining depth — the producer thread may run this
+        # many ingest blocks ahead of the device (the TPU analog of the
+        # reference's OpenMP thread count, goldrush_path.cpp:1101-1103;
+        # device parallelism itself scales via cfg.devices)
+        self._prefetch = max(1, min(int(cfg.jobs), 16))
         self.phred_min = cfg.phred_min
         self.stats = EngineStats()
         self.writers: list[fastq.PathWriter] = []
@@ -170,7 +195,7 @@ class GoldenPathEngine:
             return
         scores = np.zeros(MEDIAN_SAMPLES_NEEDED, dtype=np.uint32)
         count = 0
-        with ingest.ReadStream(path) as rs:
+        with ingest.ReadStream(path, prefetch=self._prefetch) as rs:
             for block in rs:
                 block = [r for r in block
                          if r.length >= self.cfg.min_length]
@@ -194,8 +219,29 @@ class GoldenPathEngine:
         rank-compressed structure (the reference's setup() analog)."""
         t0 = time.time()
         st = self.stats
+        if self.cfg.load_mibf:
+            # resume from a saved filter: skip pass 1 entirely (the gate
+            # bookkeeping of the skipped pass is not reconstructed; combine
+            # with -f for explicit exclusions)
+            state, meta = dm.load_state(self.cfg.load_mibf)
+            want = dict(size=self.params.size, h=self.params.h,
+                        k=self.params.k, spans=tuple(self.params.spans),
+                        tile_length=self.params.tile_length)
+            if meta != want:
+                raise ValueError(
+                    f"saved miBF geometry {meta} != engine {want}")
+            if self._shard_filt is not None:
+                state = dm.MibfState(
+                    words=jax.device_put(state.words, self._shard_filt),
+                    counts=jax.device_put(state.counts, self._shard_filt))
+            self.state = state
+            st.num_passed_reads = -1     # unknown; loaded
+            st.wall_fill_s += time.time() - t0
+            return
         if self.compressed:
-            words = jnp.zeros(self.params.size + 1, dtype=jnp.uint8)
+            words = jnp.zeros(self.params.alloc, dtype=jnp.uint8)
+            if self._shard_filt is not None:
+                words = jax.device_put(words, self._shard_filt)
         else:
             words = self.state.words
         spans = self.params.spans
@@ -222,17 +268,18 @@ class GoldenPathEngine:
             if self.mesh is None:
                 fn = jax.jit(step, donate_argnums=(0,))
             else:
+                # presence array banked over 'model' when model_shards > 1
                 fn = jax.jit(step, donate_argnums=(0,),
-                             in_shardings=(self._shard_repl,
+                             in_shardings=(self._shard_filt,
                                            self._shard_data,
                                            self._shard_data),
-                             out_shardings=self._shard_repl)
+                             out_shardings=self._shard_filt)
             self._fill_fn[P] = fn
             return fn
         # producer thread (native C++ reader when available) runs parse +
         # encode + phred ahead of the device scatter (read_hashing.cpp
         # producer-pool analog)
-        with ingest.ReadStream(path) as rs:
+        with ingest.ReadStream(path, prefetch=self._prefetch) as rs:
             for block in rs:
                 st.num_reads += len(block)
                 keep = []
@@ -284,9 +331,32 @@ class GoldenPathEngine:
             from ..mibf import compressed as cz
             self.cstate = cz.freeze(np.asarray(words), self.params.size)
             del words
+            if self._shard_filt is not None:
+                # bank the rank-indexed id/counter arrays over 'model' (the
+                # rank structure itself is small and replicated) — the
+                # memory-parity mode's capacity lever at genome scale
+                # (compressed.py:18-21)
+                self.cstate = cz.CompressedState(
+                    bitrank=jax.device_put(self.cstate.bitrank,
+                                           self._shard_repl),
+                    supers=jax.device_put(self.cstate.supers,
+                                          self._shard_repl),
+                    ids=jax.device_put(self.cstate.ids, self._shard_filt),
+                    counts=jax.device_put(self.cstate.counts,
+                                          self._shard_filt))
         else:
             self.state = dm.MibfState(words=words, counts=self.state.counts)
         st.wall_fill_s += time.time() - t0
+
+    def _filt_shardings(self):
+        """Pytree of shardings for the filter state under the mesh."""
+        if self.compressed:
+            from ..mibf.compressed import CompressedState
+            return CompressedState(
+                bitrank=self._shard_repl, supers=self._shard_repl,
+                ids=self._shard_filt, counts=self._shard_filt)
+        return dm.MibfState(words=self._shard_filt,
+                            counts=self._shard_filt)
 
     # ------------------------------------------------------------------
     def _open_writer(self, curr_path: int) -> None:
@@ -612,12 +682,14 @@ class GoldenPathEngine:
             self._consume_fn[key] = jax.jit(consume, donate_argnums=(0,))
         else:
             data, repl_ = self._shard_data, self._shard_repl
+            filt_sh = self._filt_shardings()
             self._consume_fn[key] = jax.jit(
                 consume, donate_argnums=(0,),
-                # prefix pytrees: the whole filter state replicated, batch
-                # arrays sharded over the data axis
-                in_shardings=(repl_, data, data, data, repl_),
-                out_shardings=(repl_, repl_, repl_))
+                # prefix pytrees: the filter state replicated (or banked
+                # over 'model' when model_shards > 1), batch arrays sharded
+                # over the data axis
+                in_shardings=(filt_sh, data, data, data, repl_),
+                out_shardings=(filt_sh, repl_, repl_))
         return self._consume_fn[key]
 
     # ------------------------------------------------------------------
@@ -625,7 +697,7 @@ class GoldenPathEngine:
         """Stream the pass-2-eligible reads in order (deterministic gates,
         so the submit pass and the replay pass see identical sequences)."""
         cfg = self.cfg
-        with ingest.ReadStream(path) as rs:
+        with ingest.ReadStream(path, prefetch=self._prefetch) as rs:
             for rec in rs.records():
                 if rec.length < cfg.min_length or \
                         rec.id in self.filter_out:
@@ -663,7 +735,7 @@ class GoldenPathEngine:
             if Bpad * T > TILE_BUDGET:
                 Bpad = 1 << max(0, (B - 1)).bit_length()
             if self.mesh is not None:       # data axis must divide the batch
-                d = int(self.cfg.devices)
+                d = int(self.data_shards)
                 Bpad = -(-Bpad // d) * d
             Lmax = T * TL + TL
             codes = np.zeros((Bpad, Lmax), dtype=np.uint8)
@@ -823,12 +895,15 @@ class GoldenPathEngine:
         if self.cfg.verbose:
             obs.log_engine_header(self.cfg, self.seeds, self.universe,
                                   self.phred_min)
-        with obs.phase_timer("inserting bit vector", self.cfg.verbose):
-            self.fill(path)
-        if self.cfg.verbose:
-            obs.log_filter_breakdown(self.stats)
-        with obs.phase_timer("assigned", self.cfg.verbose):
-            self.assign(path)
+        with obs.profiler_trace(self.cfg.trace_dir or None):
+            with obs.phase_timer("inserting bit vector", self.cfg.verbose):
+                self.fill(path)
+            if self.cfg.save_mibf:
+                dm.save_state(self.state, self.params, self.cfg.save_mibf)
+            if self.cfg.verbose:
+                obs.log_filter_breakdown(self.stats)
+            with obs.phase_timer("assigned", self.cfg.verbose):
+                self.assign(path)
         if self.cfg.verbose:
             obs.log_path_stat(max(self.stats.paths_completed, 1), self.stats,
                               max(self.stats.inserted_bases_in_path, 1))

@@ -57,21 +57,25 @@ def _load_reads(path: str) -> list[bytes]:
 
 def run_pipeline(cfg: PipelineConfig, workdir: str = ".",
                  until: str = "final", frame_stride: int = 1,
-                 probe_seeds: int = 0) -> dict:
+                 probe_seeds: int = 0, engine_extra: dict | None = None
+                 ) -> dict:
     """Run the pipeline up to stage `until` (one of: silver, golden,
-    polished, tigmint, ntlink, final).  Returns stage->path map."""
+    polished, tigmint, ntlink, final).  Returns stage->path map.
+    ``engine_extra`` (save_mibf/load_mibf/trace_dir) applies to the first
+    goldrush-path stage that runs."""
     t_start = time.time()
     cwd = os.getcwd()
     os.makedirs(workdir, exist_ok=True)
     os.chdir(workdir)
     try:
-        return _run(cfg, until, frame_stride, probe_seeds, t_start)
+        return _run(cfg, until, frame_stride, probe_seeds, t_start,
+                    engine_extra or {})
     finally:
         os.chdir(cwd)
 
 
 def _run(cfg: PipelineConfig, until: str, frame_stride: int,
-         probe_seeds: int, t_start: float) -> dict:
+         probe_seeds: int, t_start: float, engine_extra: dict) -> dict:
     files = stage_filenames(cfg)
     reads_file = None
     for ext in (".fq", ".fastq", ".fq.gz", ".fastq.gz"):
@@ -112,6 +116,8 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                 pc.input = reads_file
                 pc.frame_stride = frame_stride
                 pc.probe_seeds = probe_seeds
+                for k, v in engine_extra.items():
+                    setattr(pc, k, v)
                 eng = GoldenPathEngine(pc)
                 eng.run()
             stage_time("goldrush-path (silver)", silver, last_silver)
@@ -218,7 +224,10 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                          for n, s in entries]
             reads = _load_reads(reads_file)
             tp = targeted.TargetParams(flank=cfg.target_flank_length)
-            out, edits = targeted.polish_targets(scaffolds, reads, tp)
+            out, edits = targeted.polish_targets(
+                scaffolds, reads, tp,
+                mapper_k=cfg.target_k_ntlink,
+                mapper_w=cfg.target_w_ntlink)
             with _atomic_stage(files["final"]) as tmp:
                 fastq.write_fasta(tmp, out)
             _log(f"[goldrush-tpu] targeted polish edits: {edits}")

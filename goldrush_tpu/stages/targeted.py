@@ -33,18 +33,42 @@ class TargetParams:
 
 
 def polish_targets(scaffolds: list[Scaffold], reads: list[bytes],
-                   p: TargetParams | None = None
+                   p: TargetParams | None = None,
+                   mapper_k: int | None = None, mapper_w: int = 1000
                    ) -> tuple[list[tuple[str, bytes]], int]:
+    """With mapper_k set, reads are first assigned to their best-mapping
+    scaffold (minimizer mapping at mapper_k/mapper_w — the analog of
+    goldpolish --target's internal ntLink mapping at --k-ntlink 88
+    --w-ntlink 1000, bin/goldrush:305-308) and each scaffold's fill regions
+    polish against ITS reads only; without it one global k-mer table serves
+    all scaffolds."""
     p = p or TargetParams()
     pp = polish_mod.PolishParams(k=p.k, solid_min=p.solid_min,
                                  rounds=p.rounds, schedule=p.schedule)
+    assigned: list[list[bytes]] | None = None
+    if mapper_k is not None:
+        from . import mapping
+        index = mapping.build_index([sc.seq.upper() for sc in scaffolds],
+                                    [sc.name for sc in scaffolds],
+                                    min(32, mapper_k), mapper_w)
+        assigned = [[] for _ in scaffolds]
+        for read, hits in zip(reads, mapping.map_reads(index, reads)):
+            if hits:
+                assigned[hits[0].tid].append(read)
     tables: dict = {}
     out = []
     total_edits = 0
-    for sc in scaffolds:
+    for si, sc in enumerate(scaffolds):
         if not sc.filled:
             out.append((sc.name, sc.seq.upper()))
             continue
+        if assigned is None:
+            sc_reads, sc_tables = reads, tables
+        else:
+            sc_reads, sc_tables = assigned[si], {}
+            if not sc_reads:           # no mapped evidence: leave as-is
+                out.append((sc.name, sc.seq.upper()))
+                continue
         seq = sc.seq
         # process regions right-to-left so earlier coordinates stay valid
         regions = sorted(sc.filled, key=lambda r: -r[0])
@@ -52,7 +76,8 @@ def polish_targets(scaffolds: list[Scaffold], reads: list[bytes],
             a = max(r0 - p.flank, 0)
             b = min(r1 + p.flank, len(seq))
             window = seq[a:b].upper()
-            fixed, ne = polish_mod.polish_seq(window, reads, pp, tables)
+            fixed, ne = polish_mod.polish_seq(window, sc_reads, pp,
+                                              sc_tables)
             total_edits += ne
             seq = seq[:a] + fixed + seq[b:]
         out.append((sc.name, seq.upper()))

@@ -235,3 +235,40 @@ def test_ultralong_reads_uncapped(tmp_path):
     assert any(len(r[2]) > 256 * CFG["tile_length"] for r in want
                if r[0].startswith("r")), "dataset lost its ultralong recruit"
     assert tstats.queries == sum(s.queries for s in ostats)
+
+
+def test_engine_banked_filter_parity(dataset, batch1_run):
+    """model_shards=2 (4x2 data x model mesh): the slot-banked filter
+    engine produces a bit-identical golden path and filter state vs
+    single-device — the capacity lever for filters beyond one chip's HBM."""
+    tmp, path, genome, reads = dataset
+    teng1, _ = batch1_run
+    tengb, _ = run_tpu(tmp, path, batch=16, silver=False, devices=8,
+                       model_shards=2)
+    got1 = recruited_from_files(str(tmp / "tpu_b1_False"), silver=False)
+    gotb = recruited_from_files(str(tmp / "tpu_b16_False"), silver=False)
+    assert [(r.id, r.seq) for r in gotb] == [(r.id, r.seq) for r in got1]
+    np.testing.assert_array_equal(np.asarray(tengb.state.words),
+                                  np.asarray(teng1.state.words))
+    np.testing.assert_array_equal(np.asarray(tengb.state.counts),
+                                  np.asarray(teng1.state.counts))
+
+
+def test_mibf_save_load_resume(dataset, tmp_path):
+    """save_mibf after pass 1 + load_mibf resume produce the same golden
+    path as a straight run (checkpoint/resume beyond the reference's
+    store-only MIBloomFilter::store, MIBloomFilter.hpp:123-160)."""
+    tmp, path, genome, reads = dataset
+    ckpt = str(tmp_path / "filter.npz")
+    cfg1 = PathConfig(input=path, silver_path=False,
+                      prefix_file=str(tmp_path / "direct"),
+                      batch_reads=8, save_mibf=ckpt, **CFG)
+    GoldenPathEngine(cfg1).run()
+    cfg2 = PathConfig(input=path, silver_path=False,
+                      prefix_file=str(tmp_path / "resumed"),
+                      batch_reads=8, load_mibf=ckpt, **CFG)
+    GoldenPathEngine(cfg2).run()
+    a = recruited_from_files(str(tmp_path / "direct"), silver=False)
+    b = recruited_from_files(str(tmp_path / "resumed"), silver=False)
+    assert [(r.id, r.seq) for r in a] == [(r.id, r.seq) for r in b]
+    assert a

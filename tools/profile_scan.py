@@ -316,8 +316,75 @@ if MODE == "stages":
     import sys as _s
     _s.exit(0)
 
+def make_scan_piece(piece):
+    """Scan with a stripped-down insert body to localize the per-read cost:
+    piece in {logic, counts, words, traffic, all}."""
+    def consume(filt, codes, lengths):
+        n_tiles = (lengths // TL).astype(jnp.int32)
+        slots_q, frame_ok = dm.build_slot_grid(codes, lengths, fam, params, T)
+        votes0 = probe(filt, slots_q, frame_ok)
+        res0 = classify(votes0, n_tiles)
+        if S == 1:
+            g = slots_q
+        else:
+            g, _ = dm.build_slot_grid(codes, lengths, fam, params_full, T)
+        keys = dm.build_insert_keys(g, T)
+
+        def body(carry, xs):
+            words, counts, tot = carry
+            kz, n_t, dec0 = xs
+            N = kz.shape[0]
+            idx_dtype = params_full.idx_dtype
+            slot = (kz >> jnp.uint64(dm.TILE_BITS)).astype(idx_dtype)
+            t = (kz & jnp.uint64((1 << dm.TILE_BITS) - 1)).astype(jnp.int32)
+            valid = (slot < size) & (t < n_t) & (dec0 > 0)
+            if piece in ("logic", "all"):
+                bs = 10
+                m = jnp.where(valid, t // bs, 0)
+                prev_valid = jnp.concatenate([jnp.zeros(1, bool), valid[:-1]])
+                prev_slot = jnp.concatenate(
+                    [jnp.full(1, -1, idx_dtype), slot[:-1]])
+                prev_m = jnp.concatenate([jnp.full(1, -1, jnp.int32), m[:-1]])
+                new_run = valid & (~prev_valid | (prev_slot != slot))
+                u_first = new_run | (valid & (prev_m != m))
+                run_end = valid & jnp.concatenate(
+                    [~valid[1:] | (slot[1:] != slot[:-1]), jnp.ones(1, bool)])
+                c = jnp.cumsum(u_first.astype(jnp.int32))
+                run_base = jax.lax.cummax(
+                    jnp.where(new_run, c - 1, jnp.int32(-1)))
+                j = jnp.where(valid, c - run_base, 0)
+                BIG = jnp.int64(N + 2)
+                fseg = jnp.cumsum(jnp.flip(run_end).astype(jnp.int64))
+                c_end = jnp.flip(
+                    jax.lax.cummax(fseg * BIG + jnp.flip(c)) - fseg * BIG)
+                j_total = jnp.where(valid, c_end - run_base, 0)
+                tot = tot + j_total.sum() + j.sum()
+            dummy = (jnp.asarray(params_full.alloc, idx_dtype)
+                     + jnp.arange(N, dtype=idx_dtype))
+            w_idx = jnp.where(valid, slot, dummy)
+            if piece in ("counts", "traffic", "all"):
+                counts = counts.at[w_idx].add(jnp.uint32(1), mode="drop")
+                tot = tot + counts[w_idx].sum().astype(jnp.int64)
+            if piece in ("words", "traffic", "all"):
+                old = words[jnp.where(valid, slot, size)]
+                words = words.at[w_idx].add(jnp.uint32(7) - old, mode="drop")
+            return (words, counts, tot), dec0
+
+        carry0 = (filt.words, filt.counts, jnp.int64(0))
+        (w, c, tot), out = jax.lax.scan(
+            body, carry0, (keys, n_tiles, res0.decision))
+        return dm.MibfState(w, c), (out, tot)
+    return jax.jit(consume, donate_argnums=(0,))
+
+
 state = timeit("A batched classify+keys", bc2, state)
-state = timeit("B scan insert-only", make_scan(False, True), state)
+state = timeit("B1 scan seg-logic only", make_scan_piece("logic"), state)
+state = timeit("B2 scan counts-traffic only", make_scan_piece("counts"),
+               state)
+state = timeit("B3 scan words-traffic only", make_scan_piece("words"), state)
+state = timeit("B4 scan all traffic", make_scan_piece("traffic"), state)
+state = timeit("B5 scan logic+traffic", make_scan_piece("all"), state)
+state = timeit("B scan insert-only (real)", make_scan(False, True), state)
 state = timeit("C scan live-probe-only", make_scan(True, False), state)
 state = timeit("D scan full (live+insert)", make_scan(True, True), state)
 
