@@ -94,6 +94,43 @@ def batched_classify(filt, codes, lengths):
     return res0.decision, keys
 
 
+def make_scan_cond(recruit_frac):
+    """Scan with the insert under lax.cond(dec>0): only recruits pay the
+    table ops.  recruit_frac forces the decision rate to isolate cost."""
+    def consume(filt, codes, lengths):
+        n_tiles = (lengths // TL).astype(jnp.int32)
+        slots_q, frame_ok = dm.build_slot_grid(codes, lengths, fam, params, T)
+        votes0 = probe(filt, slots_q, frame_ok)
+        res0 = classify(votes0, n_tiles)
+        if S == 1:
+            g = slots_q
+        else:
+            g, _ = dm.build_slot_grid(codes, lengths, fam, params_full, T)
+        keys = dm.build_insert_keys(g, T)
+        thresh = int(B * recruit_frac)
+
+        def body(carry, xs):
+            filt, ids_ins, i = carry
+            kz, n_t, dec0 = xs
+            dec = jnp.where(i < thresh, 1, 0)
+
+            def do_ins(f):
+                base = (ids_ins + 1).astype(jnp.uint32)
+                return dm.insert_read_sorted(
+                    f, kz, jnp.int32(0), n_t - 1, base,
+                    jnp.asarray(False), jnp.asarray(True), params_full,
+                    num_tiles=T, assume_present=True)
+
+            filt = jax.lax.cond(dec > 0, do_ins, lambda f: f, filt)
+            ids_ins = ids_ins + jnp.where(dec > 0, 1 + RL // (TL * 10), 0)
+            return (filt, ids_ins, i + 1), dec
+        xs = (keys, n_tiles, res0.decision)
+        (filt, _, _), out = jax.lax.scan(
+            body, (filt, jnp.int64(0), jnp.int32(0)), xs)
+        return filt, out
+    return jax.jit(consume, donate_argnums=(0,))
+
+
 def make_scan(do_live, do_insert):
     def consume(filt, codes, lengths):
         n_tiles = (lengths // TL).astype(jnp.int32)
@@ -387,6 +424,10 @@ state = timeit("B5 scan logic+traffic", make_scan_piece("all"), state)
 state = timeit("B scan insert-only (real)", make_scan(False, True), state)
 state = timeit("C scan live-probe-only", make_scan(True, False), state)
 state = timeit("D scan full (live+insert)", make_scan(True, True), state)
+state = timeit("F cond-insert 0% recruit", make_scan_cond(0.0), state)
+state = timeit("F cond-insert 12% recruit", make_scan_cond(0.125), state)
+state = timeit("F cond-insert 50% recruit", make_scan_cond(0.5), state)
+state = timeit("F cond-insert 100% recruit", make_scan_cond(1.0), state)
 
 # E: chunk-level multi-read insert: concatenate all reads' keys with read
 # index packed in, one segmented pass.
