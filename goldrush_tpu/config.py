@@ -79,6 +79,12 @@ class PathConfig:
                                     # frame (0 = all h; <h = throughput mode —
                                     # same per-tile vote operating point since
                                     # same-ID votes dedupe within a frame)
+    insert_stride: int = 1          # insert every Nth frame of a recruited
+                                    # tile instead of all tile_length frames
+                                    # (1 = exact reference semantics; >1 =
+                                    # throughput mode: later probes of a
+                                    # recruited region see ~1/N of its votes,
+                                    # quality-gated in tools/quality_sweep)
     recheck: str = "exact"          # batch-staleness policy: "exact" re-runs
                                     # every read against the live filter once
                                     # it changed mid-batch (reference-identical
@@ -128,6 +134,8 @@ class PathConfig:
                 f"[0, hash_num={self.hash_num}]")
         if self.frame_stride < 1:
             raise ValueError("frame_stride must be >= 1")
+        if self.insert_stride < 1:
+            raise ValueError("insert_stride must be >= 1")
         if self.recheck not in ("exact", "optimistic"):
             raise ValueError(f"unknown recheck {self.recheck!r}")
         if self.model_shards < 1:

@@ -117,10 +117,16 @@ class GoldenPathEngine:
             # keeps the exact reference gate
             frame_stride=S, vote_min=2 // S if S == 1 else max(1, 2 // S),
             probe_seeds=cfg.probe_seeds, slot_map=cfg.slot_map)
-        # insertion is always full-resolution regardless of the query stride
+        # insertion is full-resolution by default regardless of the query
+        # stride; cfg.insert_stride > 1 samples the inserted frames too
+        # (throughput mode, quality-gated)
+        if cfg.tile_length % cfg.insert_stride:
+            raise ValueError("insert_stride must divide tile_length")
         self.params_full = dataclasses.replace(
             self.params, frame_stride=1, vote_min=2, threshold=cfg.threshold,
             probe_seeds=0)
+        self.params_ins = dataclasses.replace(
+            self.params_full, frame_stride=cfg.insert_stride)
         self.compressed = cfg.mibf_mode == "compressed"
         self.cstate = None        # CompressedState after freeze
         self.state = dm.init_state(self.params)
@@ -182,9 +188,7 @@ class GoldenPathEngine:
         self.stats = EngineStats()
         self.writers: list[fastq.PathWriter] = []
         self._fill_fn = {}
-        self._insert_fn = {}
         self._classify_fn = {}
-        self._full_slots_fn = {}
         self._consume_fn = {}
 
     # ------------------------------------------------------------------
@@ -437,48 +441,6 @@ class GoldenPathEngine:
             for p in range(ids_tr.shape[1]):
                 log_tile_states(ids_tr[i, p, :n], bools_tr[i, p, :n])
 
-    def _full_slots(self, codes_row, length, T):
-        """Full-resolution probe grid of one read, for insertion (queries may
-        be strided; inserts never are)."""
-        if T not in self._full_slots_fn:
-            params_full = self.params_full
-
-            def fs(codes_row, length):
-                P = T * params_full.tile_length
-                hashes = hash_positions(codes_row, self.fam, P)
-                slots, _ = dm.tile_slot_grid(hashes, length, params_full, T)
-                return slots[0]
-
-            self._full_slots_fn[T] = jax.jit(fs)
-        return self._full_slots_fn[T](jnp.asarray(codes_row),
-                                      jnp.asarray(length, dtype=jnp.int32))
-
-    def _insert(self, slots_row, tile_lo, tile_hi, base_id, trimmed, T):
-        key = T
-        if key not in self._insert_fn:
-            max_blocks = -(-T // self.params.block_size) + 1
-            # donate the filter state: without donation every insert copies
-            # the full words+counts arrays (GBs at production scale)
-            if self.compressed:
-                from ..mibf import compressed as cz
-                self._insert_fn[key] = jax.jit(
-                    lambda st, s, lo, hi, bid, tr:
-                    cz.insert_read(st, s, lo, hi, bid, tr, self.params_full,
-                                   max_blocks=max_blocks, num_tiles=T),
-                    donate_argnums=(0,))
-            else:
-                self._insert_fn[key] = jax.jit(
-                    lambda st, s, lo, hi, bid, tr:
-                    dm.insert_read(st, s, lo, hi, bid, tr, self.params_full,
-                                   max_blocks=max_blocks, num_tiles=T),
-                    donate_argnums=(0,))
-        args = (slots_row, jnp.int32(tile_lo), jnp.int32(tile_hi),
-                jnp.uint32(base_id), jnp.asarray(bool(trimmed)))
-        if self.compressed:
-            self.cstate = self._insert_fn[key](self.cstate, *args)
-        else:
-            self.state = self._insert_fn[key](self.state, *args)
-
     # ------------------------------------------------------------------
     def _consume_for(self, B, T):
         """Fused per-batch executable: batched classify + grid/sort prep,
@@ -496,10 +458,13 @@ class GoldenPathEngine:
             whose outputs are only the small per-read decision tuple (the
             filter is a read-only operand); while the state is unchanged
             since batch start the step reuses the batched classification,
-          * insertion ALWAYS runs as a masked one-pass sorted-key scatter
-            (dm.insert_read_sorted) — a non-recruit masks every write to a
-            dropped dummy index, so the carried arrays are mutated purely
-            in place,
+          * insertion runs ONLY for recruits, under a lax.cond whose false
+            branch passes the filter through: a recruit pays the one-pass
+            sorted-key scatter (grid + row sort + 4 table ops over its hash
+            set, ~8 ms at production sizes), a drop pays ~nothing — the
+            round-2 design ran the masked insert for every read, which made
+            the scan ~10 ms/read regardless of decisions
+            (tools/profile_scan.py B vs F variants),
           * a silver rotation resets the filter in-scan (rare-true cond)
             and processing continues within the batch; path accounting is
             reconstructed by the host replay from the per-read rows.
@@ -512,7 +477,7 @@ class GoldenPathEngine:
         key = (B, T)
         if key in self._consume_fn:
             return self._consume_fn[key]
-        params, params_full = self.params, self.params_full
+        params, params_ins = self.params, self.params_ins
         fam, cfg, x_eff = self.fam, self.cfg, self.x_eff
         mesh, repl = self.mesh, self._shard_repl
         TL, bs = params.tile_length, params.block_size
@@ -521,26 +486,29 @@ class GoldenPathEngine:
         target = int(cfg.target_bases())
         max_paths = int(cfg.max_paths)
         u_min, a_max = cfg.unassigned_min, cfg.assigned_max
+        # the query grid can double as the insert grid only at full common
+        # resolution (query stride 1 == insert stride 1)
+        reuse_q = (params.frame_stride == 1 and params_ins.frame_stride == 1)
         if self.compressed:
             from ..mibf import compressed as cz
 
             def probe(filt, s, ok):
                 return cz.probe_and_vote(filt, s, ok, params, num_tiles=T)
 
-            def build_keys(filt, codes, lengths, slots_q):
-                if params.frame_stride == 1:
-                    g = slots_q
+            def build_keys_row(filt, crow, ln, sq_row):
+                if reuse_q:
+                    g = sq_row
                 else:
-                    g, _ = dm.build_slot_grid(codes, lengths, fam,
-                                              params_full, T)
-                return cz.build_insert_keys(filt, g, params_full, T)
+                    g = dm.build_slot_grid(crow[None], ln[None], fam,
+                                           params_ins, T)[0][0]
+                return cz.build_insert_keys(filt, g, params_ins, T)
 
-            def insert(filt, kz, lo, hi, base, trimmed, active):
+            def insert(filt, kz, lo, hi, base, trimmed):
                 # every engine-inserted rank was presence-filled in pass 1
                 # and saturation is never set -> skip the old-entry gather
                 return cz.insert_read_sorted(filt, kz, lo, hi, base,
-                                             trimmed, active, params_full,
-                                             num_tiles=T,
+                                             trimmed, jnp.bool_(True),
+                                             params_ins, num_tiles=T,
                                              assume_present=True)
 
             def reset(filt):
@@ -550,20 +518,20 @@ class GoldenPathEngine:
                 return dm.probe_and_vote(filt.words, s, ok, params,
                                          num_tiles=T)
 
-            def build_keys(filt, codes, lengths, slots_q):
-                if params.frame_stride == 1:
-                    g = slots_q
+            def build_keys_row(filt, crow, ln, sq_row):
+                if reuse_q:
+                    g = sq_row
                 else:
-                    g, _ = dm.build_slot_grid(codes, lengths, fam,
-                                              params_full, T)
+                    g = dm.build_slot_grid(crow[None], ln[None], fam,
+                                           params_ins, T)[0][0]
                 return dm.build_insert_keys(g, T)
 
-            def insert(filt, kz, lo, hi, base, trimmed, active):
+            def insert(filt, kz, lo, hi, base, trimmed):
                 # every engine-inserted slot was presence-filled in pass 1
                 # and saturation is never set -> skip the old-word gather
                 return dm.insert_read_sorted(filt, kz, lo, hi, base,
-                                             trimmed, active, params_full,
-                                             num_tiles=T,
+                                             trimmed, jnp.bool_(True),
+                                             params_ins, num_tiles=T,
                                              assume_present=True)
 
             def reset(filt):
@@ -586,12 +554,11 @@ class GoldenPathEngine:
                                                    params, T)
             votes0 = probe(filt, slots_q, frame_ok)
             res0 = classify(votes0, n_tiles)
-            keys = build_keys(filt, codes, lengths, slots_q)
 
             def body(carry, xs):
                 (filt, ids_ins, ins_bases, path_idx, done, changed,
                  reset_seen) = carry
-                (sq, ok, kz, L, n_t, dec0, ts0, te0, na0,
+                (sq, ok, crow, ln, L, n_t, dec0, ts0, te0, na0,
                  q0, h0, m0, ov0) = xs
                 live = changed & (done == 0)
                 if not exact:
@@ -631,7 +598,19 @@ class GoldenPathEngine:
                                jnp.where(dec == 2, te64, 0)).astype(
                                    jnp.int32)
                 base = (ids_ins + 1).astype(jnp.uint32)
-                filt = insert(filt, kz, lo, hi, base, dec == 2, done == 0)
+
+                # the insert (4 table gather/scatters over the read's full
+                # hash set -- measured ~8 ms each at production filter
+                # sizes) runs ONLY for recruits: the cond's false branch
+                # passes the filter through untouched, so drops cost ~zero
+                # (tools/profile_scan.py F-variants).  Key building (grid +
+                # row sort) also lives inside the branch.
+                def do_insert(f):
+                    kz = build_keys_row(f, crow, ln, sq)
+                    return insert(f, kz, lo, hi, base, dec == 2)
+
+                filt = jax.lax.cond((dec > 0) & (done == 0), do_insert,
+                                    lambda f: f, filt)
                 blocks = jnp.where(
                     dec == 1, 1 + L // (TL * bs),
                     jnp.where(dec == 2, 1 + (te64 - ts64) // bs, 0))
@@ -657,7 +636,7 @@ class GoldenPathEngine:
                 return (filt, ids_ins, ins_bases, path_idx, done,
                         changed, reset_seen), out
 
-            xs = (slots_q, frame_ok, keys,
+            xs = (slots_q, frame_ok, codes, lengths,
                   full_lengths.astype(jnp.int64), n_tiles,
                   res0.decision, res0.trim_start, res0.trim_end,
                   res0.num_assigned,

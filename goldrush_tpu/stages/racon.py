@@ -73,9 +73,11 @@ def polish_with_racon(contigs: list[tuple[str, bytes]],
     index = mapping.build_index(seqs, names, p.k, p.w)
     read_mins = mapping._seq_minimizers(reads, p.k, p.w, batch=p.batch)
     counts = [np.zeros((4, len(s)), dtype=np.int32) for s in seqs]
-    for read, (q_pos, q_hash) in zip(reads, read_mins):
-        hits = mapping.map_sequence(index, q_pos, q_hash,
-                                    min_anchors=p.min_anchors)
+    # hit finding batched over all reads at once (one searchsorted join);
+    # only the per-read vote projection below stays a host loop
+    all_hits = mapping.map_reads(index, reads, min_anchors=p.min_anchors,
+                                 mins=read_mins)
+    for read, (q_pos, q_hash), hits in zip(reads, read_mins, all_hits):
         if not hits:
             continue
         hit = hits[0]                      # primary alignment only (racon -u

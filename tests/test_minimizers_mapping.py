@@ -72,3 +72,29 @@ def test_mapping_noisy_read():
         assert hh, rid
         h = hh[0]
         assert h.t_start >= start - 300 and h.t_end <= start + 4000 + 300
+
+
+def test_map_reads_batched_equals_per_read():
+    """The batched map_reads pipeline (one searchsorted join + lexsort
+    grouping over all reads' anchors) must reproduce per-read map_sequence
+    exactly, including hit order, offsets and anchor lists."""
+    genome = synth.random_genome(60_000, seed=20)
+    contigs = [genome[:20_000], genome[18_000:40_000], genome[38_000:]]
+    idx = mapping.build_index(contigs, ["a", "b", "c"], k=16, w=24)
+    reads = synth.simulate_reads(genome, 40, 3_000, seed=21, err_rate=0.04,
+                                 both_strands=True)
+    seqs = [s for _, s, _ in reads]
+    got = mapping.map_reads(idx, seqs, keep_anchors=True)
+    mins = mapping._seq_minimizers(seqs, idx.k, idx.w)
+    want = [mapping.map_sequence(idx, p, h, keep_anchors=True)
+            for p, h in mins]
+    assert len(got) == len(want)
+    for gs, ws in zip(got, want):
+        assert len(gs) == len(ws)
+        for g, w in zip(gs, ws):
+            assert (g.tid, g.strand, g.q_start, g.q_end, g.t_start,
+                    g.t_end, g.n_anchors, g.offset) == \
+                   (w.tid, w.strand, w.q_start, w.q_end, w.t_start,
+                    w.t_end, w.n_anchors, w.offset)
+            import numpy as _np
+            _np.testing.assert_array_equal(g.t_anchors, w.t_anchors)

@@ -49,13 +49,16 @@ def coverage_frac(recruits, G):
     return covered / G
 
 
-def run_engine(reads_fq, G, workdir, tag, stride, probe_seeds, M=3, r=0.75):
+def run_engine(reads_fq, G, workdir, tag, stride, probe_seeds, M=3, r=0.75,
+               insert_stride=1):
     cfg = PathConfig(
         input=reads_fq, genome_size=G, kmer_size=22, weight=16, hash_num=3,
         seed_preset=PRESET, silver_path=True, max_paths=M, ratio=r,
         min_length=15_000, prefix_file=os.path.join(workdir, tag),
         frame_stride=stride, probe_seeds=probe_seeds,
-        recheck="exact" if stride == 1 else "optimistic", batch_reads=64)
+        insert_stride=insert_stride,
+        recheck="exact" if stride == 1 and insert_stride == 1
+        else "optimistic", batch_reads=64)
     eng = GoldenPathEngine(cfg)
     t0 = time.time()
     stats = eng.run()
@@ -73,13 +76,16 @@ def main():
     fast = "--fast" in sys.argv
     G = 300_000 if fast else 1_000_000
     n_reads = int(G * 12 / 20_000)
-    configs = [(1, 0), (8, 1)] if fast else [(1, 0), (4, 0), (8, 0), (8, 1)]
+    # (frame_stride, probe_seeds, insert_stride); (1, 0, 1) = exact anchor
+    configs = ([(1, 0, 1), (8, 1, 1), (8, 1, 4)] if fast else
+               [(1, 0, 1), (4, 0, 1), (8, 0, 1), (8, 1, 1),
+                (8, 1, 2), (8, 1, 4), (8, 1, 8)])
     print(f"# Throughput-mode operating curve (G={G}, {n_reads} reads x "
           f"20 kb, 40% indel errors)\n")
-    print("| err | stride | probe_seeds | jaccard | coverage | fill | "
-          "pass2 s |")
-    print("|-----|--------|-------------|---------|----------|------|"
-          "---------|")
+    print("| err | stride | probe_seeds | ins_stride | jaccard | coverage "
+          "| fill | pass2 s |")
+    print("|-----|--------|-------------|------------|---------|----------"
+          "|------|---------|")
     for err in ([0.05] if fast else [0.02, 0.05, 0.10]):
         workdir = tempfile.mkdtemp(prefix=f"sweep_{int(err*100)}_")
         genome = synth.random_genome(G, seed=51)
@@ -88,17 +94,19 @@ def main():
         fq = os.path.join(workdir, "reads.fq")
         synth.write_fastq(fq, reads)
         base = None
-        for stride, ps in configs:
-            tag = f"e{int(err*100)}_s{stride}p{ps}"
-            recs, stats, wall = run_engine(fq, G, workdir, tag, stride, ps)
+        for stride, ps, ins in configs:
+            tag = f"e{int(err*100)}_s{stride}p{ps}i{ins}"
+            recs, stats, wall = run_engine(fq, G, workdir, tag, stride, ps,
+                                           insert_stride=ins)
             ids = {rid for rid, _ in recs}
-            if stride == 1:
+            if stride == 1 and ins == 1:
                 base = ids
             jac = (len(ids & base) / max(len(ids | base), 1)) if base else 1.0
             cov = coverage_frac(recs, G)
             fill = sum(ln for _, ln in recs) / (0.75 * G * 3)
-            print(f"| {err:.0%} | {stride} | {ps} | {jac:.3f} | {cov:.3f} | "
-                  f"{fill:.2f} | {stats.wall_assign_s:.1f} |", flush=True)
+            print(f"| {err:.0%} | {stride} | {ps} | {ins} | {jac:.3f} | "
+                  f"{cov:.3f} | {fill:.2f} | {stats.wall_assign_s:.1f} |",
+                  flush=True)
 
 
 if __name__ == "__main__":
