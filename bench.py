@@ -88,6 +88,9 @@ def run_engine(cfg: PathConfig) -> dict:
     return {
         "fill_s": round(stats.wall_fill_s, 3),
         "assign_s": round(stats.wall_assign_s, 3),
+        "submit_s": round(stats.wall_submit_s, 3),
+        "submit_first_s": round(stats.wall_submit_first_s, 3),
+        "replay_s": round(stats.wall_replay_s, 3),
         "reads": stats.num_reads,
         "recruits": stats.recruits,
         "reads_per_s": round(stats.num_reads / max(stats.wall_assign_s, 1e-9),
@@ -185,6 +188,8 @@ def main():
             parity["reads_per_s"] / BASELINE_READS_PER_S_1T, 2),
         "fill_s": throughput["fill_s"],
         "assign_s": throughput["assign_s"],
+        "submit_s": throughput["submit_s"],
+        "replay_s": throughput["replay_s"],
         "recruits": throughput["recruits"],
         **micro,
         "device": str(jax.devices()[0]),
