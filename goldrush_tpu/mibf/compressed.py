@@ -43,20 +43,30 @@ class CompressedState(NamedTuple):
     counts: jax.Array      # uint32 [pop+1]
 
 
+FILL_COLS = 1 << 26     # transient presence row width (64 MB): rows keep
+                        # every dimension (and every host fetch) far below
+                        # the 2^32-element / multi-GB relay limits at
+                        # billion-slot genome sizings
+
+
+def fill_rows(size: int) -> int:
+    return -(-(size + 2) // FILL_COLS)
+
+
 def fill_bytes(presence: jax.Array, hashes: jax.Array, valid: jax.Array,
                size: int, slot_mode: str = "fastrange") -> jax.Array:
-    """Pass-1 presence into a transient byte-per-slot array (sorted +
-    deduped for the vectorized unique-indices scatter, see
-    mibf.fill_presence)."""
+    """Pass-1 presence into a transient 2-D byte-per-slot array
+    [rows, FILL_COLS] (flat slot s lives at [s >> 26, s & (2^26-1)]);
+    sorted + deduped so the scatter writes each slot once per batch."""
     slots = slot_of(hashes.reshape(-1), size, slot_mode)
     slots = jnp.where(valid.reshape(-1), slots, jnp.uint64(size))
     s = jax.lax.sort(slots.astype(jnp.int64))
     prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
     u_first = s != prev
-    dummy = (jnp.asarray(presence.shape[0], dtype=s.dtype)
-             + jnp.arange(s.shape[0], dtype=s.dtype))
-    idx = jnp.where(u_first, s, dummy)
-    return presence.at[idx].max(jnp.uint8(1), mode="drop")
+    R = presence.shape[0]
+    rows = jnp.where(u_first, (s >> 26).astype(jnp.int32), jnp.int32(R))
+    cols = (s & jnp.int64(FILL_COLS - 1)).astype(jnp.int32)
+    return presence.at[rows, cols].max(jnp.uint8(1), mode="drop")
 
 
 def freeze(presence: np.ndarray | jax.Array, size: int) -> CompressedState:
@@ -70,7 +80,42 @@ def freeze(presence: np.ndarray | jax.Array, size: int) -> CompressedState:
     b = b.reshape(nw, 32)
     bits = (b << np.arange(32, dtype=np.uint32)[None, :]).sum(
         axis=1, dtype=np.uint32)
-    pops = b.sum(axis=1, dtype=np.int64)
+    return _freeze_from_bits(bits, size)
+
+
+def freeze_device(presence_dev: jax.Array, size: int) -> CompressedState:
+    """freeze() for the DEVICE-resident 2-D presence transient.
+
+    Rows ship to the host one at a time (64 MB each — the relay
+    resource-exhausts on single multi-GB transfers) and pack via
+    np.packbits row-wise (bounded host memory at any genome sizing).
+    Beyond 2^32 total slots the filter cannot even be gathered on one
+    device, so genomes past G~150 Mbp at o=0.1 route to the banked mode
+    (model_shards >= 2), where each shard stays under both limits."""
+    assert size % 32 == 0, size
+    nw = size // 32
+    R, C = presence_dev.shape
+    bits = np.empty(R * C // 32, dtype=np.uint32)
+    wpr = C // 32
+    for i in range(R):
+        row = np.asarray(presence_dev[i]) != 0
+        bits[i * wpr: (i + 1) * wpr] = np.frombuffer(
+            np.packbits(row, bitorder="little").tobytes(), dtype=np.uint32)
+    return _freeze_from_bits(bits[:nw].copy(), size)
+
+
+def _popcount_u32(v: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount (no numpy>=2 bitwise_count dependency)."""
+    v = v.astype(np.uint32)
+    v = v - ((v >> 1) & np.uint32(0x55555555))
+    v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
+    v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
+    return ((v * np.uint32(0x01010101)) >> 24).astype(np.int64)
+
+
+def _freeze_from_bits(bits: np.ndarray, size: int) -> CompressedState:
+    nw = bits.shape[0]
+    pops = _popcount_u32(bits)
     cum = np.zeros(nw, dtype=np.int64)
     np.cumsum(pops[:-1], out=cum[1:])
     pop = int(cum[-1] + pops[-1]) if nw else 0

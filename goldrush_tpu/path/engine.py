@@ -243,7 +243,11 @@ class GoldenPathEngine:
             st.wall_fill_s += time.time() - t0
             return
         if self.compressed:
-            words = jnp.zeros(self.params.alloc, dtype=jnp.uint8)
+            from ..mibf import compressed as cz
+            R = cz.fill_rows(self.params.size)
+            if self._shard_filt is not None:
+                R = -(-R // self.cfg.model_shards) * self.cfg.model_shards
+            words = jnp.zeros((R, cz.FILL_COLS), dtype=jnp.uint8)
             if self._shard_filt is not None:
                 words = jax.device_put(words, self._shard_filt)
         else:
@@ -333,7 +337,7 @@ class GoldenPathEngine:
                 "no reads passed the Phred score and min length requirements")
         if self.compressed:
             from ..mibf import compressed as cz
-            self.cstate = cz.freeze(np.asarray(words), self.params.size)
+            self.cstate = cz.freeze_device(words, self.params.size)
             del words
             if self._shard_filt is not None:
                 # bank the rank-indexed id/counter arrays over 'model' (the

@@ -59,13 +59,13 @@ def test_insert_and_vote_parity_with_rank_oracle():
     from goldrush_tpu.ops import nthash_np as onthash
     pool = [RNG.integers(0, 4, 400).astype(np.uint8) for _ in range(5)]
     oracle = MibfOracle(SIZE, key_mode="rank")
-    presence = jnp.zeros(SIZE + 1, dtype=jnp.uint8)
+    presence = jnp.zeros((cz.fill_rows(SIZE), cz.FILL_COLS), dtype=jnp.uint8)
     for r in pool:
         canon = onthash.multi_seed_canonical(r, SEEDS)
         oracle.fill_presence(canon)
         presence = cz.fill_bytes(presence, jnp.asarray(canon),
                                  jnp.ones(canon.shape, bool), SIZE)
-    comp = cz.freeze(np.asarray(presence), SIZE)
+    comp = cz.freeze_device(presence, SIZE)
     # presence-derived rank map for checking the rank-indexed arrays
     pres = (oracle.words[:SIZE] & OP) != 0
     rank_of = np.cumsum(pres) - pres

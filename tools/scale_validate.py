@@ -1,7 +1,12 @@
-"""Scale validation on the real chip: a silver-path run at G=250 Mbp
-filter sizing (the largest that fits one v5e chip's HBM in compressed
-mode), recording fill/assign wall, reads/s and the filter's HBM footprint
-vs the reference's published RAM curve (/root/reference/README.md:115-123).
+"""Scale validation on the real chip: a silver-path run at G=140 Mbp
+filter sizing — the single-chip ceiling, which is set NOT by HBM but by
+XLA TPU's 32-bit indexing (arrays beyond 2^32 elements cannot be
+gathered/scattered/sliced: "indices exceed 32-bits" at compile); at
+occupancy 0.1 that is ~4.3e9 slots = G ~150 Mbp.  Larger genomes route to
+the banked mode (model_shards >= 2: each shard stays < 2^32 elements AND
+within per-chip HBM).  Records fill/assign wall, reads/s and the filter's
+HBM footprint vs the reference's published RAM curve
+(/root/reference/README.md:115-123).
 
 The read set is a 20 Mbp genome at ~2x (2,000 x 20 kb) — enough to
 exercise fill, freeze, probe and insert against the full-size rank
@@ -25,7 +30,7 @@ from goldrush_tpu.path.engine import GoldenPathEngine
 from goldrush_tpu.utils import synth
 
 PRESET = "1011011110110111101101"
-G_SIZING = 250_000_000
+G_SIZING = 140_000_000
 G_READS = 20_000_000
 N_READS = 2_000
 
@@ -49,10 +54,14 @@ print(f"  at FULL {G_SIZING/1e6:.0f} Mbp fill: pop ~{universe:,} -> "
       f"ids+counts {2 * universe * 4 / 1e9:.1f} GB "
       f"(total ~{(size / 32 * 8 + 2 * universe * 4) / 1e9:.1f} GB; "
       f"reference RAM at human 3 Gbp: 51.9-54.5 GB)")
-u500 = int(min(4 ** 16, 2 * 2 * G_SIZING) * 0.5 * 3)
-s500 = calc_optimal_size(u500, 1, 0.1)
-print(f"  at 500 Mbp sizing: {(s500 / 32 * 8 + 2 * u500 * 4) / 1e9:.1f} GB "
-      f"> one chip's 16 GB HBM -> banked mode (model_shards>=2)")
+for gg in (250_000_000, 500_000_000, 3_000_000_000):
+    uu = int(min(4 ** 16, 2 * gg) * 0.5 * 3)
+    ss = calc_optimal_size(uu, 1, 0.1)
+    shards = max(2, -(-ss // (1 << 32)))
+    print(f"  at {gg/1e6:.0f} Mbp sizing: {ss:,} slots "
+          f"({(ss / 32 * 8 + 2 * uu * 4) / 1e9:.1f} GB) exceeds the 2^32 "
+          f"single-array index limit -> banked mode, model_shards>="
+          f"{shards}")
 
 mode = "direct" if "--direct" in sys.argv else "compressed"
 cfg = PathConfig(
