@@ -92,8 +92,7 @@ def freeze_device(presence_dev: jax.Array, size: int) -> CompressedState:
     Beyond 2^32 total slots the filter cannot even be gathered on one
     device, so genomes past G~150 Mbp at o=0.1 route to the banked mode
     (model_shards >= 2), where each shard stays under both limits."""
-    assert size % 32 == 0, size
-    nw = size // 32
+    nw = -(-size // 32)
     R, C = presence_dev.shape
     bits = np.empty(R * C // 32, dtype=np.uint32)
     wpr = C // 32
@@ -101,7 +100,13 @@ def freeze_device(presence_dev: jax.Array, size: int) -> CompressedState:
         row = np.asarray(presence_dev[i]) != 0
         bits[i * wpr: (i + 1) * wpr] = np.frombuffer(
             np.packbits(row, bitorder="little").tobytes(), dtype=np.uint32)
-    return _freeze_from_bits(bits[:nw].copy(), size)
+    bits = bits[:nw].copy()
+    # mirror freeze()'s presence[:size] truncation: bits past `size` in the
+    # final word (incl. the sentinel-slot byte fill_bytes may have set at
+    # index == size) must not count toward ranks
+    if size % 32:
+        bits[-1] &= np.uint32((1 << (size % 32)) - 1)
+    return _freeze_from_bits(bits, size)
 
 
 def _popcount_u32(v: np.ndarray) -> np.ndarray:
