@@ -105,6 +105,16 @@ class PathConfig:
     trace_dir: str = ""             # jax.profiler trace dir for run()
                                     # (replaces the reference's wall-clock
                                     # spans with real device traces)
+    keep_filter: bool = False       # keep the device filter arrays alive
+                                    # after assign (for post-run inspection,
+                                    # e.g. parity tests).  Default False:
+                                    # the engine frees them before fetching
+                                    # its decision rows — on the tunneled
+                                    # TPU backend the FIRST device-to-host
+                                    # transfer syncs every live device
+                                    # buffer at ~MB/s (measured 185 s with a
+                                    # 570 MB filter alive vs 0.8 s freed;
+                                    # tools/profile_degradation.py)
     devices: int = 0                # 0 = all local devices
     model_shards: int = 1           # bank the filter arrays over a 'model'
                                     # mesh axis of this size (devices =

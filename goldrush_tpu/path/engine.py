@@ -44,6 +44,11 @@ BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 # rare ultralong reads (large T buckets) run in small batches instead of
 # padding a whole 64-read batch to their bucket
 TILE_BUDGET = 4096
+# replay-record cache cap: the submit pass keeps eligible records in memory
+# (seq/qual/codes views, ~3 bytes/base) so the replay pass skips the second
+# stream over the input; beyond this many bases it falls back to
+# re-streaming (the reference's memory envelope must not be blown at scale)
+REPLAY_CACHE_BASES = 1_000_000_000
 
 
 @dataclass
@@ -72,6 +77,7 @@ class EngineStats:
     wall_submit_s: float = 0.0       # assign: device submit pass
     wall_submit_first_s: float = 0.0  # first batch (compile) per bucket
     wall_replay_s: float = 0.0       # assign: host replay pass
+    wall_fetch_s: float = 0.0        # assign: device->host row fetch
     num_batches: int = 0
 
 
@@ -190,6 +196,11 @@ class GoldenPathEngine:
         self._fill_fn = {}
         self._classify_fn = {}
         self._consume_fn = {}
+        import threading
+        self._consume_lock = threading.Lock()
+        self._prewarm_thread: threading.Thread | None = None
+        self._prewarm_key: tuple[int, int] | None = None
+        self._prewarm_sim = (0, 1)      # pending (count, tile bucket)
 
     # ------------------------------------------------------------------
     def calc_phred_threshold(self, path: str) -> None:
@@ -315,6 +326,23 @@ class GoldenPathEngine:
                 if not good:
                     continue
                 st.num_passed_reads += len(good)
+                # replicate the assign pass's first batch grouping on the
+                # eligible stream (same gates, same order) and prewarm its
+                # consume executable in a side thread while fill streams on
+                if self._prewarm_thread is None:
+                    TLp, capp = self.params.tile_length, self.cfg.max_tiles
+                    pn, pT = self._prewarm_sim
+                    for r in good:
+                        T_r = _bucket_for(r.length // TLp, capp)
+                        T_new = max(pT, T_r)
+                        if pn and (pn + 1) * T_new > TILE_BUDGET:
+                            self._launch_prewarm(pn, pT)
+                            break
+                        pn, pT = pn + 1, T_new
+                        if pn >= self.batch_reads:
+                            self._launch_prewarm(pn, pT)
+                            break
+                    self._prewarm_sim = (pn, pT)
                 # fixed batch/length buckets keep jit shapes stable
                 FB = 64
                 good.sort(key=lambda r: r.length)
@@ -479,6 +507,11 @@ class GoldenPathEngine:
         "optimistic" re-probes only stale candidates (a stale "drop" stays
         dropped — rare drift in recruit-dense phases)."""
         key = (B, T)
+        with self._consume_lock:
+            return self._consume_for_locked(key)
+
+    def _consume_for_locked(self, key):
+        B, T = key
         if key in self._consume_fn:
             return self._consume_fn[key]
         params, params_ins = self.params, self.params_ins
@@ -546,13 +579,18 @@ class GoldenPathEngine:
                                   votes.cand_ids, votes.cand_counts,
                                   n_tiles, x_eff, u_min, a_max)
 
-        def consume(filt, codes, lengths, full_lengths, scal0):
+        def consume(filt, codes, lengths, full_lengths, scal0, rows0):
             # scal0: int64 [4] = ids_inserted, inserted_bases, path_idx,
             # done — device-chained across batches, never read by the host
             # until the whole pass is over.  lengths are bucket-capped for
             # the probe grid; full_lengths are the true read lengths, used
             # for inserted-base accounting (process_read adds the whole
-            # read, goldrush_path.cpp:996-1000)
+            # read, goldrush_path.cpp:996-1000).  rows0: int64 [B, 8]
+            # donated per-read output buffer — EVERY output of this
+            # executable is donation-aliased (filt, scal, rows): the axon
+            # runtime ships an executable's non-aliased results to the host
+            # on every call once any fetch has happened in the process
+            # (~0.5 s/call), while all-aliased executables stay fast
             n_tiles = (lengths // TL).astype(jnp.int32)
             slots_q, frame_ok = dm.build_slot_grid(codes, lengths, fam,
                                                    params, T)
@@ -560,9 +598,9 @@ class GoldenPathEngine:
             res0 = classify(votes0, n_tiles)
 
             def body(carry, xs):
-                (filt, ids_ins, ins_bases, path_idx, done, changed,
+                (filt, rows, ids_ins, ins_bases, path_idx, done, changed,
                  reset_seen) = carry
-                (sq, ok, crow, ln, L, n_t, dec0, ts0, te0, na0,
+                (ri, sq, ok, crow, ln, L, n_t, dec0, ts0, te0, na0,
                  q0, h0, m0, ov0) = xs
                 live = changed & (done == 0)
                 if not exact:
@@ -637,10 +675,13 @@ class GoldenPathEngine:
                     dec.astype(jnp.int64), ts64, te64, na.astype(jnp.int64),
                     q.astype(jnp.int64), h.astype(jnp.int64),
                     m.astype(jnp.int64), ov.astype(jnp.int64)])
-                return (filt, ids_ins, ins_bases, path_idx, done,
-                        changed, reset_seen), out
+                rows = jax.lax.dynamic_update_slice(rows, out[None, :],
+                                                    (ri, jnp.int32(0)))
+                return (filt, rows, ids_ins, ins_bases, path_idx, done,
+                        changed, reset_seen), jnp.int32(0)
 
-            xs = (slots_q, frame_ok, codes, lengths,
+            xs = (jnp.arange(codes.shape[0], dtype=jnp.int32),
+                  slots_q, frame_ok, codes, lengths,
                   full_lengths.astype(jnp.int64), n_tiles,
                   res0.decision, res0.trim_start, res0.trim_end,
                   res0.num_assigned,
@@ -654,26 +695,70 @@ class GoldenPathEngine:
                 # local rows instead of per-step collectives
                 xs = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(a, repl), xs)
-            carry0 = (filt, scal0[0], scal0[1], scal0[2], scal0[3],
+            carry0 = (filt, rows0, scal0[0], scal0[1], scal0[2], scal0[3],
                       jnp.bool_(False), jnp.bool_(False))
-            (filt, ids_ins, ins_bases, path_idx, done, _, _), out = \
+            (filt, rows, ids_ins, ins_bases, path_idx, done, _, _), _ = \
                 jax.lax.scan(body, carry0, xs)
             scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
-            return filt, out, scal
+            return filt, rows, scal
 
         if mesh is None:
-            self._consume_fn[key] = jax.jit(consume, donate_argnums=(0,))
+            self._consume_fn[key] = jax.jit(consume,
+                                            donate_argnums=(0, 4, 5))
         else:
             data, repl_ = self._shard_data, self._shard_repl
             filt_sh = self._filt_shardings()
             self._consume_fn[key] = jax.jit(
-                consume, donate_argnums=(0,),
+                consume, donate_argnums=(0, 4, 5),
                 # prefix pytrees: the filter state replicated (or banked
                 # over 'model' when model_shards > 1), batch arrays sharded
                 # over the data axis
-                in_shardings=(filt_sh, data, data, data, repl_),
+                in_shardings=(filt_sh, data, data, data, repl_, repl_),
                 out_shardings=(filt_sh, repl_, repl_))
         return self._consume_fn[key]
+
+    # ------------------------------------------------------------------
+    def _pad_batch(self, B: int, T: int) -> int:
+        """Padded batch size for a closed batch of B reads at tile bucket T
+        (shared by the submit pass and the fill-time prewarm so their keys
+        agree)."""
+        Bpad = max(B, self.batch_reads)
+        if Bpad * T > TILE_BUDGET:
+            Bpad = 1 << max(0, (B - 1)).bit_length()
+        if self.mesh is not None:           # data axis must divide the batch
+            d = int(self.data_shards)
+            Bpad = -(-Bpad // d) * d
+        return Bpad
+
+    def _launch_prewarm(self, B: int, T: int) -> None:
+        """Compile (or load from the persistent cache) the first consume
+        executable in a side thread while pass 1 is still streaming — the
+        executable build is the dominant first-batch cost in assign
+        (~1.5-3 s of cache load per (B, T) bucket)."""
+        if self.compressed or self.mesh is not None or self.cfg.debug:
+            return
+        key = (self._pad_batch(B, T), T)
+        if key in self._consume_fn or self._prewarm_thread is not None:
+            return
+        import threading
+
+        def work():
+            try:
+                fn = self._consume_for(*key)
+                TL = self.params.tile_length
+                Bp, Tp = key
+                dummy = dm.init_state(self.params)
+                out = fn(dummy, jnp.zeros((Bp, Tp * TL + TL), jnp.uint8),
+                         jnp.zeros(Bp, jnp.int32), jnp.zeros(Bp, jnp.int64),
+                         jnp.asarray([0, 0, 1, 0], dtype=jnp.int64),
+                         jnp.zeros((Bp, 8), dtype=jnp.int64))
+                jax.block_until_ready(out[2])
+            except Exception:               # pragma: no cover - best effort
+                pass
+
+        self._prewarm_key = key
+        self._prewarm_thread = threading.Thread(target=work, daemon=True)
+        self._prewarm_thread.start()
 
     # ------------------------------------------------------------------
     def _eligible(self, path: str):
@@ -706,20 +791,22 @@ class GoldenPathEngine:
         TL = cfg.tile_length
         cap = cfg.max_tiles
         plans: list[tuple[int, int, object]] = []   # (n_reads, T, out_d)
+        read_T: list[int] = []                      # per-eligible-read bucket
+        # submit-pass record cache: replay skips the second input stream
+        # when the whole eligible stream fits the cap (records hold views
+        # into the ingest block buffers, ~3 bytes/base)
+        cache: list | None = []
+        cached_bases = 0
         scal_d = jnp.asarray([0, 0, 1, 0], dtype=jnp.int64)
 
         def submit(batch):
             nonlocal scal_d
             B = len(batch)
             T = max(_bucket_for(r.length // TL, cap) for r in batch)
+            read_T.extend([T] * B)
             # pad to a power-of-two batch (shape reuse across batches) but
             # never past the tile budget: ultralong-read batches stay small
-            Bpad = max(B, self.batch_reads)
-            if Bpad * T > TILE_BUDGET:
-                Bpad = 1 << max(0, (B - 1)).bit_length()
-            if self.mesh is not None:       # data axis must divide the batch
-                d = int(self.data_shards)
-                Bpad = -(-Bpad // d) * d
+            Bpad = self._pad_batch(B, T)
             Lmax = T * TL + TL
             codes = np.zeros((Bpad, Lmax), dtype=np.uint8)
             lengths = np.zeros(Bpad, dtype=np.int32)
@@ -735,11 +822,19 @@ class GoldenPathEngine:
                 self._debug_dump(codes, lengths, batch, T)
             tb = time.time()
             first = (Bpad, T) not in self._consume_fn
+            if first and self._prewarm_key == (Bpad, T) and \
+                    self._prewarm_thread is not None:
+                # the executable is being built by the fill-time prewarm
+                # thread; wait for it instead of racing the compile
+                self._prewarm_thread.join()
+                first = (Bpad, T) not in self._consume_fn
             fn = self._consume_for(Bpad, T)
             filt = self.cstate if self.compressed else self.state
+            rows0 = jnp.zeros((Bpad, 8), dtype=jnp.int64)
             filt, out_d, scal_d = fn(filt, jnp.asarray(codes),
                                      jnp.asarray(lengths),
-                                     jnp.asarray(full_lengths), scal_d)
+                                     jnp.asarray(full_lengths), scal_d,
+                                     rows0)
             if self.compressed:
                 self.cstate = filt
             else:
@@ -758,6 +853,11 @@ class GoldenPathEngine:
         pending = []
         pend_T = 1
         for rec in self._eligible(path):
+            if cache is not None:
+                cache.append(rec)
+                cached_bases += rec.length
+                if cached_bases > REPLAY_CACHE_BASES:
+                    cache = None        # too big: replay re-streams
             T_r = _bucket_for(rec.length // TL, cap)
             T_new = max(pend_T, T_r)
             if pending and (len(pending) + 1) * T_new > TILE_BUDGET:
@@ -777,9 +877,29 @@ class GoldenPathEngine:
         st.wall_submit_s += time.time() - t0
 
         # ---- fetch everything at once (consume never runs again) ---------
+        # one device-side concat + ONE host transfer: on this backend every
+        # d2h transfer after the first pays a ~0.5 s process-wide sync, so
+        # per-batch row fetches would cost ~0.5 s x num_batches
         t1 = time.time()
-        outs = [np.asarray(o) for _, _, o in plans]
-        scal = np.asarray(scal_d)
+        if not cfg.keep_filter:
+            # free the filter BEFORE the first d2h transfer: the tunneled
+            # backend syncs every live device buffer on that first fetch
+            # (~185 s with a 570 MB filter alive vs ~1 s freed)
+            self.state = None
+            self.cstate = None
+        import os as _os
+        if _os.environ.get("GOLDRUSH_DEBUG_LIVE"):
+            big = sorted((a.nbytes for a in jax.live_arrays()), reverse=True)
+            print("live device arrays >1MB:",
+                  [f"{b/1e6:.0f}MB" for b in big if b > 1e6])
+        if plans:
+            out_all = jnp.concatenate([o[: b] for b, _, o in plans], axis=0)
+            rows, scal = (np.asarray(a)
+                          for a in jax.device_get((out_all, scal_d)))
+        else:
+            rows = np.zeros((0, 8), dtype=np.int64)
+            scal = np.asarray(scal_d)
+        st.wall_fetch_s += time.time() - t1
 
         # ---- replay pass ---------------------------------------------------
         target_bases = cfg.target_bases()
@@ -787,18 +907,12 @@ class GoldenPathEngine:
         curr_path = 1
         done = False
         self._open_writer(curr_path)
-        bi = ri = 0
-        for r in self._eligible(path):
-            if done or bi >= len(plans):
+        records = cache if cache is not None else self._eligible(path)
+        for ri, r in enumerate(records):
+            if done or ri >= len(read_T):
                 break
-            if ri >= plans[bi][0]:
-                bi += 1
-                ri = 0
-                if bi >= len(plans):
-                    break
-            _, T, _ = plans[bi]
-            dec, ts, te, na, q, h, m, ov = (int(x) for x in outs[bi][ri])
-            ri += 1
+            T = read_T[ri]
+            dec, ts, te, na, q, h, m, ov = (int(x) for x in rows[ri])
             # effective tile count is capped at the bucket limit (reads
             # longer than max_tiles*TL are classified on their first
             # max_tiles tiles; the reference has no cap)

@@ -33,7 +33,8 @@ def dataset(tmp_path_factory):
 def run_tpu(tmp, path, batch, silver=False, **over):
     cfg = PathConfig(input=path, silver_path=silver,
                      prefix_file=str(tmp / f"tpu_b{batch}_{silver}"),
-                     batch_reads=batch, **{**CFG, **over})
+                     batch_reads=batch, keep_filter=True,
+                     **{**CFG, **over})
     eng = GoldenPathEngine(cfg)
     stats = eng.run()
     return eng, stats

@@ -69,7 +69,7 @@ cfg = PathConfig(
     seed_preset=PRESET, silver_path=True, max_paths=5, ratio=0.02,
     min_length=20_000, prefix_file=os.path.join(workdir, "sv"),
     frame_stride=8, probe_seeds=1, recheck="optimistic", batch_reads=64,
-    mibf_mode=mode)
+    mibf_mode=mode, keep_filter=(mode == "compressed"))
 eng = GoldenPathEngine(cfg)
 t0 = time.time()
 st = eng.run()
