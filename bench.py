@@ -166,6 +166,12 @@ def main():
         reads, workdir, "tp",
         frame_stride=STRIDE, probe_seeds=PROBE_SEEDS, recheck="optimistic",
         batch_reads=64)
+    # memory-parity (rank-compressed) mode at the same throughput settings:
+    # the configuration that fits human-scale genomes (compressed.py:18-21)
+    compressed = measure_engine(
+        reads, workdir, "cz",
+        frame_stride=STRIDE, probe_seeds=PROBE_SEEDS, recheck="optimistic",
+        batch_reads=64, mibf_mode="compressed")
     parity = measure_engine(reads, workdir, "parity")     # exact defaults
 
     micro = classify_microbench()
@@ -181,6 +187,8 @@ def main():
         # measured 2-thread scaling here is negative — see docstring)
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
         "vs_baseline_measured_1t": round(rps / BASELINE_READS_PER_S_1T, 2),
+        "compressed_reads_per_s": compressed["reads_per_s"],
+        "compressed_fill_s": compressed["fill_s"],
         "engine_parity_reads_per_s": parity["reads_per_s"],
         "parity_vs_baseline": round(
             parity["reads_per_s"] / BASELINE_READS_PER_S, 3),

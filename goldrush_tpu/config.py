@@ -85,6 +85,23 @@ class PathConfig:
                                     # throughput mode: later probes of a
                                     # recruited region see ~1/N of its votes,
                                     # quality-gated in tools/quality_sweep)
+    insert_seeds: int = 0           # write ids for only the first N seed
+                                    # patterns (0 = all h).  Probed seeds
+                                    # must be a subset; the unprobed seeds'
+                                    # ids shape the miBF's background vote
+                                    # statistics that the reference's trim
+                                    # heuristics see (measured in
+                                    # tools/calib_gate.py), so the default
+                                    # keeps all h even in sampled modes
+    trim_recheck: bool = True       # sampled modes re-classify boundary-zone
+                                    # reads (partially-assigned or trimmed)
+                                    # at FULL resolution with the exact
+                                    # reference gates against the live
+                                    # filter before committing — removes
+                                    # most sampling drift on the
+                                    # trim-decision channel at ~1 ms per
+                                    # boundary read (no-op at stride 1 with
+                                    # all seeds probed, or insert_stride>1)
     recheck: str = "exact"          # batch-staleness policy: "exact" re-runs
                                     # every read against the live filter once
                                     # it changed mid-batch (reference-identical
@@ -146,6 +163,13 @@ class PathConfig:
             raise ValueError("frame_stride must be >= 1")
         if self.insert_stride < 1:
             raise ValueError("insert_stride must be >= 1")
+        if self.insert_seeds < 0 or self.insert_seeds > self.hash_num:
+            raise ValueError(
+                f"insert_seeds ({self.insert_seeds}) must be in "
+                f"[0, hash_num={self.hash_num}]")
+        if self.insert_seeds and \
+                (self.probe_seeds or self.hash_num) > self.insert_seeds:
+            raise ValueError("probed seeds must be a subset of insert_seeds")
         if self.recheck not in ("exact", "optimistic"):
             raise ValueError(f"unknown recheck {self.recheck!r}")
         if self.model_shards < 1:

@@ -81,6 +81,16 @@ def read_native_blocks(path: str, max_records: int = 512,
             if n < 0:
                 raise RuntimeError(f"seqio_read_block error {n} on {path}")
             name_list = bytes(names.tobytes()).split(b"\0")[:n]
+            # trim the 3 seq_cap-sized buffers to the bytes actually used:
+            # blocks usually close on the record-count limit long before
+            # filling seq_cap, and downstream record views (e.g. the
+            # engine's replay cache) would otherwise pin the whole 3 x 64 MB
+            # allocation per block for the lifetime of any single view
+            used = int(offsets[n])
+            if used < seq_cap // 2:
+                seq = seq[:used].copy()
+                codes = codes[:used].copy()
+                quals = quals[:used].copy()
             yield NativeBlock(
                 names=[s.decode() for s in name_list],
                 seq=seq, codes=codes, quals=quals,

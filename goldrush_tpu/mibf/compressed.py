@@ -396,6 +396,32 @@ def insert_read_sorted(state: CompressedState, keys: jax.Array,
                            ids=ids_arr, counts=counts)
 
 
+@partial(jax.jit, static_argnames=("params", "num_tiles"))
+def insert_read_max(state: CompressedState, slots_ins: jax.Array,
+                    tile_lo: jax.Array, tile_hi: jax.Array,
+                    base_id: jax.Array, trimmed: jax.Array,
+                    params: MibfParams, num_tiles: int) -> jax.Array:
+    """Throughput-mode insert on the rank-indexed ids array: one rank
+    lookup (gather) + one scatter-max of the block id (max-id-wins; see
+    mibf.insert_read_max for the semantics trade).  Returns the new ids
+    array only — bitrank/supers/counts are untouched."""
+    H, TF = slots_ins.shape
+    F = TF // num_tiles
+    bs = params.block_size
+    pop_sentinel = state.ids.shape[0] - 1
+    present, ranks = _rank_lookup(state, slots_ins, params.size)
+    t_of = jnp.arange(TF, dtype=jnp.int32) // F
+    in_range = (t_of >= tile_lo) & (t_of <= tile_hi)
+    valid = in_range[None, :] & present
+    m = jnp.where(in_range, (t_of - tile_lo) // bs, 0)
+    block_id = jnp.where(
+        trimmed, base_id + ((m * bs + 1) // bs).astype(jnp.uint32),
+        base_id + m.astype(jnp.uint32))
+    idx = jnp.where(valid, ranks, jnp.int64(pop_sentinel + 1))
+    vals = jnp.broadcast_to(block_id[None, :], (H, TF))
+    return state.ids.at[idx.reshape(-1)].max(vals.reshape(-1), mode="drop")
+
+
 def reset_ids(state: CompressedState) -> CompressedState:
     return CompressedState(bitrank=state.bitrank, supers=state.supers,
                            ids=jnp.zeros_like(state.ids),

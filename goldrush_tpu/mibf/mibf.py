@@ -634,6 +634,51 @@ def insert_read_sorted(state: MibfState, keys: jax.Array, tile_lo: jax.Array,
     return MibfState(words=words, counts=counts)
 
 
+@partial(jax.jit, static_argnames=("params", "num_tiles"))
+def insert_read_max(words: jax.Array, slots_ins: jax.Array,
+                    tile_lo: jax.Array, tile_hi: jax.Array,
+                    base_id: jax.Array, trimmed: jax.Array,
+                    params: MibfParams, num_tiles: int) -> jax.Array:
+    """Throughput-mode insert: ONE scatter-max of ``PRESENT | block_id`` over
+    the read's (unsorted) insert grid.
+
+    Replaces the reservoir accept rule with deterministic max-id-wins at
+    shared slots: block ids grow monotonically within a silver path, so the
+    most recent block claims a contested slot.  The reference itself accepts
+    nondeterministic winners under thread interleavings ("return values will
+    not be the same run to run", MIBloomFilter.hpp:105-107); bit-parity mode
+    keeps the sequential reservoir path (insert_read_sorted).  What this
+    buys: no per-read key sort, no counter array traffic, no old-word
+    gather — the insert is a single combiner scatter over H*T*F indices
+    (~10x less table traffic than the 4-op reservoir insert, measured in
+    tools/profile_scan.py), and the counts array is untouched.
+
+    slots_ins: [H, T*F] insert grid (sentinel-padded) at full insert
+    resolution for the PROBED seeds only — ids written for never-probed
+    seeds are invisible to every query, so throughput mode skips them
+    (mibf.MibfParams.probe_seeds semantics).
+    """
+    H, TF = slots_ins.shape
+    F = TF // num_tiles
+    bs = params.block_size
+    idx_dtype = params.idx_dtype
+    sentinel = jnp.asarray(params.size, dtype=slots_ins.dtype)
+    t_of = jnp.arange(TF, dtype=jnp.int32) // F
+    in_range = (t_of >= tile_lo) & (t_of <= tile_hi)
+    valid = in_range[None, :] & (slots_ins < sentinel)
+    m = jnp.where(in_range, (t_of - tile_lo) // bs, 0)
+    block_id = jnp.where(
+        trimmed, base_id + ((m * bs + 1) // bs).astype(jnp.uint32),
+        base_id + m.astype(jnp.uint32))
+    new_word = PRESENT_BIT | block_id                       # [TF]
+    # rejected writes route past the array length (mode="drop"); duplicate
+    # slots are fine — max is commutative, the winning id is deterministic
+    idx = jnp.where(valid, slots_ins.astype(idx_dtype),
+                    jnp.asarray(params.alloc, idx_dtype))
+    vals = jnp.broadcast_to(new_word[None, :], (H, TF))
+    return words.at[idx.reshape(-1)].max(vals.reshape(-1), mode="drop")
+
+
 def reset_ids(state: MibfState) -> MibfState:
     """Silver-path rotation (goldrush_path.cpp:156-187): zero IDs + counters,
     keep presence bits."""

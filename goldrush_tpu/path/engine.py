@@ -39,7 +39,12 @@ from ..ops.phred import (MEDIAN_SAMPLES_NEEDED, MINIMUM_PHRED_THRESHOLD,
 from ..ops.seeds import make_seed_pattern
 from .classify import classify_batch
 
-BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+# tile-bucket sizes: mid values between powers of two cut probe/insert
+# padding waste (a 20-tile ONT read on a 32 bucket pays 60% extra scatter
+# traffic); each bucket costs one extra jit executable, amortized by the
+# persistent compile cache
+BUCKETS = (1, 2, 4, 8, 12, 16, 20, 24, 32, 48, 64, 96, 128, 192, 256,
+           384, 512, 768, 1024, 1536, 2048)
 # per-batch tile budget: a batch is cut so B_pad * T stays under this, so
 # rare ultralong reads (large T buckets) run in small batches instead of
 # padding a whole 64-read batch to their bucket
@@ -81,6 +86,28 @@ class EngineStats:
     num_batches: int = 0
 
 
+def _device_memory_bytes() -> int:
+    """Per-device memory (falls back to 16 GB when the backend won't say)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return int(stats.get("bytes_limit", 16 << 30))
+    except Exception:                      # pragma: no cover - backend quirk
+        return 16 << 30
+
+
+def _tile_min_count(top_count: jax.Array, n_tiles: jax.Array) -> jax.Array:
+    """Per-read minimum top vote count over in-read tiles: int32 [B].
+
+    The trim-recheck margin signal — a read whose weakest tile is close to
+    the assignment gate re-classifies at full resolution regardless of how
+    confidently the sampled tier scored the rest."""
+    B, T = top_count.shape
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    in_read = t_idx < n_tiles[:, None]
+    big = jnp.int32(1 << 30)
+    return jnp.min(jnp.where(in_read, top_count, big), axis=1)
+
+
 def _bucket_for(num_tiles: int, cap: int) -> int:
     for b in BUCKETS:
         if num_tiles <= b:
@@ -112,24 +139,47 @@ class GoldenPathEngine:
         if cfg.tile_length % S:
             raise ValueError("frame_stride must divide tile_length")
         self.x_eff = max(1, cfg.threshold // S)
+        # probe_seeds > 0: the SAMPLED query tier hashes/probes only the
+        # probed seed prefix (3x less hash+gather work at the reference
+        # h=3).  Fill and insert cover cfg.insert_seeds (default: all h) —
+        # ids at unprobed seeds' slots are invisible to the sampled tier's
+        # direct hits, but they set the filter's background vote statistics
+        # that the reference's trim flank heuristics depend on, and the
+        # full-resolution trim recheck probes ALL insert seeds with the
+        # exact reference gates (measured in tools/calib_gate.py:
+        # 1-seed-everything scores Jaccard 0.787 vs exact, 3-seed-insert
+        # 0.859, +recheck higher still).
+        self.h_active = cfg.probe_seeds or cfg.hash_num
+        seeds_q = self.seeds[: self.h_active]
+        self.fam_q = (self.fam if self.h_active == cfg.hash_num
+                      else build_seed_family(seeds_q))
+        self.h_ins = cfg.insert_seeds or cfg.hash_num
+        self.fam_ins = (self.fam if self.h_ins == cfg.hash_num
+                        else build_seed_family(self.seeds[: self.h_ins]))
         self.params = dm.MibfParams(
-            size=self.size, h=cfg.hash_num, k=cfg.kmer_size,
-            spans=tuple(len(s) for s in self.seeds),
+            size=self.size, h=self.h_active, k=cfg.kmer_size,
+            spans=tuple(len(s) for s in seeds_q),
             tile_length=cfg.tile_length, threshold=self.x_eff,
             block_size=cfg.block_size, vote_topk=cfg.vote_topk,
             # vote_min floors at 1 for S>1: 2//S would hit 0 at stride>=4,
             # letting every single spurious frame vote become a candidate
             # (reference gate: count > 2, goldrush_path.cpp:616); stride=1
             # keeps the exact reference gate
-            frame_stride=S, vote_min=2 // S if S == 1 else max(1, 2 // S),
-            probe_seeds=cfg.probe_seeds, slot_map=cfg.slot_map)
+            frame_stride=S, vote_min=int(__import__("os").environ.get(
+                "GOLDRUSH_VOTE_MIN",
+                2 // S if S == 1 else max(1, 2 // S))),
+            probe_seeds=0, slot_map=cfg.slot_map)
         # insertion is full-resolution by default regardless of the query
         # stride; cfg.insert_stride > 1 samples the inserted frames too
-        # (throughput mode, quality-gated)
+        # (throughput mode, quality-gated).  params_full doubles as the
+        # trim-recheck classifier: full resolution, all insert seeds, the
+        # exact reference gates (x, vote_min=2)
         if cfg.tile_length % cfg.insert_stride:
             raise ValueError("insert_stride must divide tile_length")
         self.params_full = dataclasses.replace(
-            self.params, frame_stride=1, vote_min=2, threshold=cfg.threshold,
+            self.params, h=self.h_ins,
+            spans=tuple(len(s) for s in self.seeds[: self.h_ins]),
+            frame_stride=1, vote_min=2, threshold=cfg.threshold,
             probe_seeds=0)
         self.params_ins = dataclasses.replace(
             self.params_full, frame_stride=cfg.insert_stride)
@@ -201,6 +251,7 @@ class GoldenPathEngine:
         self._prewarm_thread: threading.Thread | None = None
         self._prewarm_key: tuple[int, int] | None = None
         self._prewarm_sim = (0, 1)      # pending (count, tile bucket)
+        self._prewarm_done = False      # set when prewarm launched/declined
 
     # ------------------------------------------------------------------
     def calc_phred_threshold(self, path: str) -> None:
@@ -263,7 +314,12 @@ class GoldenPathEngine:
                 words = jax.device_put(words, self._shard_filt)
         else:
             words = self.state.words
-        spans = self.params.spans
+        # presence covers every seed the engine will ever probe: the
+        # sampled tier's seeds are a prefix of the insert seeds, and the
+        # full-res trim recheck probes all insert seeds with the h-way
+        # AND gate
+        fam_fill = self.fam_ins
+        spans = self.params_ins.spans
 
         def fill_for(P):
             """Fused hash+scatter executable per padded length (hashing on
@@ -271,7 +327,7 @@ class GoldenPathEngine:
             cfg.devices > 1 — every device scatters into its replica)."""
             if P in self._fill_fn:
                 return self._fill_fn[P]
-            size, mode, fam = self.params.size, self.cfg.slot_map, self.fam
+            size, mode, fam = self.params.size, self.cfg.slot_map, fam_fill
             idx_dtype = self.params.idx_dtype
             if self.compressed:
                 from ..mibf import compressed as cz
@@ -329,7 +385,7 @@ class GoldenPathEngine:
                 # replicate the assign pass's first batch grouping on the
                 # eligible stream (same gates, same order) and prewarm its
                 # consume executable in a side thread while fill streams on
-                if self._prewarm_thread is None:
+                if self._prewarm_thread is None and not self._prewarm_done:
                     TLp, capp = self.params.tile_length, self.cfg.max_tiles
                     pn, pT = self._prewarm_sim
                     for r in good:
@@ -415,7 +471,7 @@ class GoldenPathEngine:
 
             def step(filt, codes, lengths):
                 slots, frame_ok = dm.build_slot_grid(
-                    codes, lengths, self.fam, params, T)
+                    codes, lengths, self.fam_q, params, T)
                 if self.compressed:
                     from ..mibf import compressed as cz
                     votes = cz.probe_and_vote(filt, slots, frame_ok, params,
@@ -446,7 +502,7 @@ class GoldenPathEngine:
 
             def step(filt, codes, lengths):
                 slots, frame_ok = dm.build_slot_grid(
-                    codes, lengths, self.fam, params, T)
+                    codes, lengths, self.fam_q, params, T)
                 if self.compressed:
                     from ..mibf import compressed as cz
                     votes = cz.probe_and_vote(filt, slots, frame_ok, params,
@@ -515,69 +571,46 @@ class GoldenPathEngine:
         if key in self._consume_fn:
             return self._consume_fn[key]
         params, params_ins = self.params, self.params_ins
-        fam, cfg, x_eff = self.fam, self.cfg, self.x_eff
+        params_full = self.params_full
+        fam, fam_ins = self.fam_q, self.fam_ins
+        cfg, x_eff = self.cfg, self.x_eff
         mesh, repl = self.mesh, self._shard_repl
         TL, bs = params.tile_length, params.block_size
         silver = bool(cfg.silver_path)
         exact = cfg.recheck == "exact"
+        # optimistic mode swaps the bit-parity reservoir insert (sorted
+        # keys + counter traffic, ~8 ms/recruit) for the one-scatter-max
+        # insert (~0.7 ms/recruit; mibf.insert_read_max) — the reservoir's
+        # winner-selection is the one semantic the reference itself treats
+        # as nondeterministic (MIBloomFilter.hpp:105-107)
+        import os as _os
+        fast = not exact and not _os.environ.get("GOLDRUSH_NO_FASTINS")
         target = int(cfg.target_bases())
         max_paths = int(cfg.max_paths)
         u_min, a_max = cfg.unassigned_min, cfg.assigned_max
+        compressed = self.compressed
+        # full-resolution trim recheck (cfg.trim_recheck): boundary-zone
+        # reads re-classify at full res, all insert seeds, exact gates — a
+        # no-op when the primary classify already IS that classifier
+        rech_on = (cfg.trim_recheck and cfg.insert_stride == 1
+                   and (params.frame_stride > 1
+                        or self.h_active < self.h_ins))
         # the query grid can double as the insert grid only at full common
-        # resolution (query stride 1 == insert stride 1)
-        reuse_q = (params.frame_stride == 1 and params_ins.frame_stride == 1)
-        if self.compressed:
+        # resolution over the same seeds
+        reuse_q = (params.frame_stride == 1 and params_ins.frame_stride == 1
+                   and self.h_active == self.h_ins)
+        if compressed:
             from ..mibf import compressed as cz
-
-            def probe(filt, s, ok):
-                return cz.probe_and_vote(filt, s, ok, params, num_tiles=T)
-
-            def build_keys_row(filt, crow, ln, sq_row):
-                if reuse_q:
-                    g = sq_row
-                else:
-                    g = dm.build_slot_grid(crow[None], ln[None], fam,
-                                           params_ins, T)[0][0]
-                return cz.build_insert_keys(filt, g, params_ins, T)
-
-            def insert(filt, kz, lo, hi, base, trimmed):
-                # every engine-inserted rank was presence-filled in pass 1
-                # and saturation is never set -> skip the old-entry gather
-                return cz.insert_read_sorted(filt, kz, lo, hi, base,
-                                             trimmed, jnp.bool_(True),
-                                             params_ins, num_tiles=T,
-                                             assume_present=True)
-
-            def reset(filt):
-                return cz.reset_ids(filt)
-        else:
-            def probe(filt, s, ok):
-                return dm.probe_and_vote(filt.words, s, ok, params,
-                                         num_tiles=T)
-
-            def build_keys_row(filt, crow, ln, sq_row):
-                if reuse_q:
-                    g = sq_row
-                else:
-                    g = dm.build_slot_grid(crow[None], ln[None], fam,
-                                           params_ins, T)[0][0]
-                return dm.build_insert_keys(g, T)
-
-            def insert(filt, kz, lo, hi, base, trimmed):
-                # every engine-inserted slot was presence-filled in pass 1
-                # and saturation is never set -> skip the old-word gather
-                return dm.insert_read_sorted(filt, kz, lo, hi, base,
-                                             trimmed, jnp.bool_(True),
-                                             params_ins, num_tiles=T,
-                                             assume_present=True)
-
-            def reset(filt):
-                return dm.reset_ids(filt)
 
         def classify(votes, n_tiles):
             return classify_batch(votes.curr_id, votes.top_count,
                                   votes.cand_ids, votes.cand_counts,
                                   n_tiles, x_eff, u_min, a_max)
+
+        def classify_rech(votes, n_tiles):
+            return classify_batch(votes.curr_id, votes.top_count,
+                                  votes.cand_ids, votes.cand_counts,
+                                  n_tiles, cfg.threshold, u_min, a_max)
 
         def consume(filt, codes, lengths, full_lengths, scal0, rows0):
             # scal0: int64 [4] = ids_inserted, inserted_bases, path_idx,
@@ -591,17 +624,147 @@ class GoldenPathEngine:
             # runtime ships an executable's non-aliased results to the host
             # on every call once any fetch has happened in the process
             # (~0.5 s/call), while all-aliased executables stay fast
+            #
+            # The scan carry's filter ("sf") is the MUTATED subset of the
+            # state only: the full MibfState/CompressedState in exact mode,
+            # just the words (direct) / ids (compressed) array in fast
+            # mode — counts and the rank structure pass through untouched.
+            if compressed and fast:
+                br, su, cn = filt.bitrank, filt.supers, filt.counts
+
+                def probe(sf, s, ok):
+                    st = cz.CompressedState(br, su, sf, cn)
+                    return cz.probe_and_vote(st, s, ok, params, num_tiles=T)
+
+                def probe_full(sf, s, ok):
+                    st = cz.CompressedState(br, su, sf, cn)
+                    return cz.probe_and_vote(st, s, ok, params_full,
+                                             num_tiles=T)
+
+                def insert_sf(sf, si, crow, ln, sq, lo, hi, base, trimmed):
+                    st = cz.CompressedState(br, su, sf, cn)
+                    return cz.insert_read_max(st, si, lo, hi, base, trimmed,
+                                              params_ins, num_tiles=T)
+
+                def reset(sf):
+                    return jnp.zeros_like(sf)
+
+                def sf_of(filt):
+                    return filt.ids
+
+                def repack(sf):
+                    return cz.CompressedState(br, su, sf, cn)
+            elif compressed:
+                def probe(sf, s, ok):
+                    return cz.probe_and_vote(sf, s, ok, params, num_tiles=T)
+
+                def probe_full(sf, s, ok):
+                    return cz.probe_and_vote(sf, s, ok, params_full,
+                                             num_tiles=T)
+
+                def insert_sf(sf, si, crow, ln, sq, lo, hi, base, trimmed):
+                    if reuse_q:
+                        g = sq
+                    else:
+                        g = dm.build_slot_grid(crow[None], ln[None],
+                                               fam_ins, params_ins, T)[0][0]
+                    kz = cz.build_insert_keys(sf, g, params_ins, T)
+                    # every engine-inserted rank was presence-filled in
+                    # pass 1 and saturation is never set -> skip the
+                    # old-entry gather
+                    return cz.insert_read_sorted(sf, kz, lo, hi, base,
+                                                 trimmed, jnp.bool_(True),
+                                                 params_ins, num_tiles=T,
+                                                 assume_present=True)
+
+                def reset(sf):
+                    return cz.reset_ids(sf)
+
+                def sf_of(filt):
+                    return filt
+
+                def repack(sf):
+                    return sf
+            elif fast:
+                counts_in = filt.counts
+
+                def probe(sf, s, ok):
+                    return dm.probe_and_vote(sf, s, ok, params, num_tiles=T)
+
+                def probe_full(sf, s, ok):
+                    return dm.probe_and_vote(sf, s, ok, params_full,
+                                             num_tiles=T)
+
+                def insert_sf(sf, si, crow, ln, sq, lo, hi, base, trimmed):
+                    return dm.insert_read_max(sf, si, lo, hi, base, trimmed,
+                                              params_ins, num_tiles=T)
+
+                def reset(sf):
+                    return sf & dm.PRESENT_BIT
+
+                def sf_of(filt):
+                    return filt.words
+
+                def repack(sf):
+                    return dm.MibfState(words=sf, counts=counts_in)
+            else:
+                def probe(sf, s, ok):
+                    return dm.probe_and_vote(sf.words, s, ok, params,
+                                             num_tiles=T)
+
+                def probe_full(sf, s, ok):
+                    return dm.probe_and_vote(sf.words, s, ok, params_full,
+                                             num_tiles=T)
+
+                def insert_sf(sf, si, crow, ln, sq, lo, hi, base, trimmed):
+                    if reuse_q:
+                        g = sq
+                    else:
+                        g = dm.build_slot_grid(crow[None], ln[None],
+                                               fam_ins, params_ins, T)[0][0]
+                    kz = dm.build_insert_keys(g, T)
+                    # every engine-inserted slot was presence-filled in
+                    # pass 1 and saturation is never set -> skip the
+                    # old-word gather
+                    return dm.insert_read_sorted(sf, kz, lo, hi, base,
+                                                 trimmed, jnp.bool_(True),
+                                                 params_ins, num_tiles=T,
+                                                 assume_present=True)
+
+                def reset(sf):
+                    return dm.reset_ids(sf)
+
+                def sf_of(filt):
+                    return filt
+
+                def repack(sf):
+                    return sf
+
             n_tiles = (lengths // TL).astype(jnp.int32)
             slots_q, frame_ok = dm.build_slot_grid(codes, lengths, fam,
                                                    params, T)
-            votes0 = probe(filt, slots_q, frame_ok)
+            sf0 = sf_of(filt)
+            votes0 = probe(sf0, slots_q, frame_ok)
             res0 = classify(votes0, n_tiles)
+            if fast or rech_on:
+                # fast inserts and the trim recheck consume a BATCHED
+                # full-res insert-seed grid built up front (no per-recruit
+                # hashing/sorting inside the scan)
+                if reuse_q:
+                    slots_ins, ok_full = slots_q, frame_ok
+                else:
+                    slots_ins, ok_full = dm.build_slot_grid(
+                        codes, lengths, fam_ins, params_ins, T)
+            else:
+                slots_ins = jnp.zeros((codes.shape[0], 1, 1),
+                                      dtype=params.idx_dtype)
+                ok_full = jnp.zeros((codes.shape[0], 1), dtype=bool)
 
             def body(carry, xs):
-                (filt, rows, ids_ins, ins_bases, path_idx, done, changed,
+                (sf, rows, ids_ins, ins_bases, path_idx, done, changed,
                  reset_seen) = carry
-                (ri, sq, ok, crow, ln, L, n_t, dec0, ts0, te0, na0,
-                 q0, h0, m0, ov0) = xs
+                (ri, sq, ok, si, okf, crow, ln, L, n_t, dec0, ts0,
+                 te0, na0, q0, h0, m0, ov0, tm0) = xs
                 live = changed & (done == 0)
                 if not exact:
                     # optimistic: a read the stale batch classified "drop"
@@ -614,19 +777,49 @@ class GoldenPathEngine:
                         & (done == 0)
 
                 def use_live(_):
-                    v = probe(filt, sq[None], ok[None])
+                    v = probe(sf, sq[None], ok[None])
                     r = classify(v, n_t[None])
+                    tmin = _tile_min_count(v.top_count, n_t[None])[0]
                     return (r.decision[0], r.trim_start[0], r.trim_end[0],
                             r.num_assigned[0], v.queries[0], v.hits[0],
-                            v.misses[0], v.overflow.sum())
+                            v.misses[0], v.overflow.sum(), tmin)
 
                 def use_batch(_):
-                    return (dec0, ts0, te0, na0, q0, h0, m0, ov0)
+                    return (dec0, ts0, te0, na0, q0, h0, m0, ov0, tm0)
 
                 # cond outputs are small scalars only; the filter state is a
                 # read-only closure operand, never selected through the cond
-                dec, ts, te, na, q, h, m, ov = jax.lax.cond(
+                dec, ts, te, na, q, h, m, ov, tmin = jax.lax.cond(
                     live, use_live, use_batch, None)
+                if rech_on:
+                    # boundary zone: partially-assigned or trim decisions
+                    # re-classify at FULL resolution with the exact
+                    # reference gates (x, vote_min=2, all insert seeds)
+                    # against the live filter — the sampled tier keeps its
+                    # verdict only for clean drops (all tiles assigned
+                    # with margin) and clean novel reads (none assigned).
+                    # The margin term makes the recheck trigger
+                    # stride-independent: a fully-assigned read whose
+                    # weakest tile sits within 2x of the assignment gate
+                    # (in full-vote units) re-classifies too, so finer
+                    # strides cannot skip borderline reads that coarser
+                    # strides would have caught via sampling noise
+                    S_ = params.frame_stride
+                    weak = tmin * S_ < 2 * cfg.threshold
+                    zone = (((na > 0) & (na < n_t)) | (dec == 2)
+                            | ((na >= n_t) & weak)) & (done == 0)
+
+                    def use_full(_):
+                        v = probe_full(sf, si[None], okf[None])
+                        r = classify_rech(v, n_t[None])
+                        return (r.decision[0], r.trim_start[0],
+                                r.trim_end[0], r.num_assigned[0],
+                                v.queries[0], v.hits[0], v.misses[0],
+                                v.overflow.sum())
+
+                    dec, ts, te, na, q, h, m, ov = jax.lax.cond(
+                        zone, use_full,
+                        lambda _: (dec, ts, te, na, q, h, m, ov), None)
                 dec = jnp.where(done != 0, 0, dec)
                 ts64, te64 = ts.astype(jnp.int64), te.astype(jnp.int64)
                 l_trim = jnp.where(te64 == n_t.astype(jnp.int64) - 1,
@@ -641,18 +834,17 @@ class GoldenPathEngine:
                                    jnp.int32)
                 base = (ids_ins + 1).astype(jnp.uint32)
 
-                # the insert (4 table gather/scatters over the read's full
-                # hash set -- measured ~8 ms each at production filter
-                # sizes) runs ONLY for recruits: the cond's false branch
+                # the insert runs ONLY for recruits: the cond's false branch
                 # passes the filter through untouched, so drops cost ~zero
-                # (tools/profile_scan.py F-variants).  Key building (grid +
-                # row sort) also lives inside the branch.
+                # (tools/profile_scan.py F-variants).  Exact mode pays the
+                # one-pass sorted-key reservoir insert (~8 ms/recruit at
+                # production sizes); fast mode one scatter-max (~0.7 ms)
                 def do_insert(f):
-                    kz = build_keys_row(f, crow, ln, sq)
-                    return insert(f, kz, lo, hi, base, dec == 2)
+                    return insert_sf(f, si, crow, ln, sq, lo, hi, base,
+                                     dec == 2)
 
-                filt = jax.lax.cond((dec > 0) & (done == 0), do_insert,
-                                    lambda f: f, filt)
+                sf = jax.lax.cond((dec > 0) & (done == 0), do_insert,
+                                  lambda f: f, sf)
                 blocks = jnp.where(
                     dec == 1, 1 + L // (TL * bs),
                     jnp.where(dec == 2, 1 + (te64 - ts64) // bs, 0))
@@ -666,7 +858,7 @@ class GoldenPathEngine:
                 overflow = rotate & (max_paths < path_idx)
                 done = jnp.where(overflow, jnp.int64(1), done)
                 do_reset = rotate & ~overflow
-                filt = jax.lax.cond(do_reset, reset, lambda f: f, filt)
+                sf = jax.lax.cond(do_reset, reset, lambda f: f, sf)
                 ids_ins = jnp.where(do_reset, 0, ids_ins)
                 ins_bases = jnp.where(do_reset, 0, ins_bases)
                 changed = changed | (dec > 0)
@@ -677,30 +869,31 @@ class GoldenPathEngine:
                     m.astype(jnp.int64), ov.astype(jnp.int64)])
                 rows = jax.lax.dynamic_update_slice(rows, out[None, :],
                                                     (ri, jnp.int32(0)))
-                return (filt, rows, ids_ins, ins_bases, path_idx, done,
+                return (sf, rows, ids_ins, ins_bases, path_idx, done,
                         changed, reset_seen), jnp.int32(0)
 
             xs = (jnp.arange(codes.shape[0], dtype=jnp.int32),
-                  slots_q, frame_ok, codes, lengths,
+                  slots_q, frame_ok, slots_ins, ok_full, codes, lengths,
                   full_lengths.astype(jnp.int64), n_tiles,
                   res0.decision, res0.trim_start, res0.trim_end,
                   res0.num_assigned,
                   votes0.queries.astype(jnp.int64),
                   votes0.hits.astype(jnp.int64),
                   votes0.misses.astype(jnp.int64),
-                  votes0.overflow.sum(axis=1).astype(jnp.int64))
+                  votes0.overflow.sum(axis=1).astype(jnp.int64),
+                  _tile_min_count(votes0.top_count, n_tiles))
             if mesh is not None:
                 # the batched classify above ran data-parallel; replicate its
                 # outputs before the sequential scan so each scan step reads
                 # local rows instead of per-step collectives
                 xs = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(a, repl), xs)
-            carry0 = (filt, rows0, scal0[0], scal0[1], scal0[2], scal0[3],
+            carry0 = (sf0, rows0, scal0[0], scal0[1], scal0[2], scal0[3],
                       jnp.bool_(False), jnp.bool_(False))
-            (filt, rows, ids_ins, ins_bases, path_idx, done, _, _), _ = \
+            (sf, rows, ids_ins, ins_bases, path_idx, done, _, _), _ = \
                 jax.lax.scan(body, carry0, xs)
             scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
-            return filt, rows, scal
+            return repack(sf), rows, scal
 
         if mesh is None:
             self._consume_fn[key] = jax.jit(consume,
@@ -735,11 +928,17 @@ class GoldenPathEngine:
         executable in a side thread while pass 1 is still streaming — the
         executable build is the dominant first-batch cost in assign
         (~1.5-3 s of cache load per (B, T) bucket)."""
+        self._prewarm_done = True
         if self.compressed or self.mesh is not None or self.cfg.debug:
             return
         key = (self._pad_batch(B, T), T)
         if key in self._consume_fn or self._prewarm_thread is not None:
             return
+        # the dummy-state execution transiently holds a SECOND filter-sized
+        # state on device while fill is still scattering into the real one;
+        # skip it (compile/trace warm only) when that could pressure HBM
+        big_filter = 2 * self.params.alloc * 4 * 3 > \
+            _device_memory_bytes()
         import threading
 
         def work():
@@ -747,6 +946,8 @@ class GoldenPathEngine:
                 fn = self._consume_for(*key)
                 TL = self.params.tile_length
                 Bp, Tp = key
+                if big_filter:
+                    return
                 dummy = dm.init_state(self.params)
                 out = fn(dummy, jnp.zeros((Bp, Tp * TL + TL), jnp.uint8),
                          jnp.zeros(Bp, jnp.int32), jnp.zeros(Bp, jnp.int64),

@@ -108,8 +108,12 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
         return out
 
     # --- stage 1: silver paths (goldrush-path --silver_path) -------------
+    # skipped entirely when the golden path already exists: dev=False
+    # cleanup removes the silver intermediates after the golden pass, and a
+    # resume must not rebuild them (.SECONDARY semantics, bin/goldrush:133)
     last_silver = files["silver"][-1]
-    if not os.path.exists(files["silver_all"]):
+    if not os.path.exists(files["silver_all"]) and \
+            not os.path.exists(files["golden"]):
         if not os.path.exists(last_silver):
             def silver():
                 pc = cfg.path_config(silver=True)
@@ -139,6 +143,14 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
             eng = GoldenPathEngine(pc)
             eng.run()
         stage_time("goldrush-path (golden)", golden, files["golden"])
+        # clean: the silver .fq files (per-path AND the _all concat) are
+        # intermediates once the golden pass consumed them — removed unless
+        # dev=True keeps them for debugging (rm -f $(p1)_*.fq,
+        # bin/goldrush:202-206)
+        if not cfg.dev:
+            for f in files["silver"] + [files["silver_all"]]:
+                if os.path.exists(f):
+                    os.remove(f)
     if stop <= order.index("golden"):
         return {"golden": files["golden"]}
 

@@ -29,13 +29,17 @@ def workdir(tmp_path_factory):
     return d, genome
 
 
-def make_cfg():
+def make_cfg(**kw):
+    # dev=True keeps the silver intermediates so the dataflow assertions
+    # below can see them (dev=False removes them after the golden pass,
+    # bin/goldrush:202-206 — covered by test_dev_cleanup)
+    kw.setdefault("dev", True)
     return PipelineConfig(
         reads="reads", G=60_000, t=2,
         k=22, w=16, tile=250, b=4, m=2000, M=3, r=0.5,
         P=15, x=10, u=5, a=1,
         span=2, dist=500, cut=250,
-        k_ntLink=24, w_ntLink=100, rounds=3, z=500,
+        k_ntLink=24, w_ntLink=100, rounds=3, z=500, **kw,
     )
 
 
@@ -57,6 +61,25 @@ def test_full_pipeline(workdir):
     for key in ("silver_all", "golden", "polished", "tigmint", "ntlink",
                 "final"):
         assert (d / files[key]).exists(), key
+
+
+def test_dev_cleanup(workdir):
+    """dev=False (the default) removes the silver .fq intermediates after
+    the golden pass (rm -f $(p1)_*.fq, bin/goldrush:202-206); resume from
+    the golden file must not rebuild them (.SECONDARY semantics)."""
+    d, genome = workdir
+    cfg = make_cfg(dev=False, p="goldrush_dev0")
+    out = run_pipeline(cfg, workdir=str(d), until="golden")
+    files = stage_filenames(cfg)
+    assert (d / files["golden"]).exists()
+    for f in files["silver"] + [files["silver_all"]]:
+        assert not (d / f).exists(), f
+    # resume: silver stage must be skipped (golden exists), not recomputed
+    before = (d / files["golden"]).stat().st_mtime
+    run_pipeline(cfg, workdir=str(d), until="golden")
+    assert (d / files["golden"]).stat().st_mtime == before
+    for f in files["silver"]:
+        assert not (d / f).exists(), f
 
 
 def test_pipeline_resume(workdir):

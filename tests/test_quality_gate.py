@@ -1,19 +1,30 @@
 """Quality gate for the shipped throughput-mode defaults.
 
 The bench/production sampled configuration (frame_stride=8, probe_seeds=1,
+scatter-max insert over all 3 seeds, full-resolution trim recheck,
 optimistic recheck) must stay within a bounded recruit-set drift of the
 exact engine on a realistic dataset (1 Mbp, 5% error, 40% indels — the
 scale where the derived filter sizing is out of the tiny-genome degenerate
 regime, see .claude/skills/verify/SKILL.md).
 
-Measured operating point (round 3, tools/quality_sweep.py + the 1 Mbp
-calibration): Jaccard 0.856 at 5% error, stable across recheck policies
-(sampled-exact vs sampled-optimistic agree at 0.988 — the drift is
-inherent to frame sampling, not batching), with genome coverage >= 0.93
-and silver fill ~1.0.  Finer strides do NOT help (stride 4/2 score 0.78 —
-the x//stride threshold discretization shifts the vote operating point),
-so the gate is set at 0.80 with the measured margin; full fidelity is the
-exact mode (bit-identical to the compiled reference, test_ref_parity).
+Measured operating points (round 4, tools/calib_gate.py on this exact
+dataset):
+
+  shipped (stride 8, ps 1, ins 3, recheck)        Jaccard 0.912
+  stride curve with recheck: s1/s2/s4/s8 = 0.923 / 0.889 / 0.878 / 0.912
+  agreement floor of ANY scatter-max mode         0.906
+    (= the EXACT classifier — stride 1, all seeds — run with only the
+    max-id-wins insert + optimistic batching: the reservoir-winner
+    sensitivity of borderline trim decisions cascades through the filter
+    state; the reference accepts the same nondeterminism class across
+    thread interleavings, MIBloomFilter.hpp:105-107)
+
+So the whole stride curve sits within +-0.02 of the insert-rule floor —
+sampling no longer costs quality beyond that floor (round 3's pathologies,
+0.44 cliffs at probe_seeds=0-sampled and 1-seed-insert flank distortion,
+are fixed by the all-seed insert + trim recheck).  Gate at 0.90 for the
+shipped config; full fidelity is the exact mode (bit-identical to the
+compiled reference, test_ref_parity).
 """
 
 import os
@@ -65,7 +76,7 @@ def test_shipped_throughput_defaults_quality(dataset):
                      recheck="optimistic")
     assert base, "exact anchor recruited nothing"
     jac = len(ids & base) / max(len(ids | base), 1)
-    assert jac >= 0.80, f"recruit-set Jaccard {jac:.3f} below gate"
+    assert jac >= 0.90, f"recruit-set Jaccard {jac:.3f} below gate"
     # assembly-level invariant: silver fill stays ~= r*G*M
     fill = sum(lens) / (0.75 * G * 3)
     assert 0.9 <= fill <= 1.15, fill

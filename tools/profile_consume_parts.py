@@ -77,11 +77,14 @@ state = eng.state
 
 
 def timeit(name, fn, state, n=3):
-    filt, out, scal = fn(state, codes_d, lengths_d, fl_d, scal0)
+    # rows0 is a donated [B, 8] output buffer — fresh per call
+    filt, out, scal = fn(state, codes_d, lengths_d, fl_d, scal0,
+                         jnp.zeros((B, 8), dtype=jnp.int64))
     jax.block_until_ready(scal)
     t0 = time.time()
     for _ in range(n):
-        filt, out, scal = fn(filt, codes_d, lengths_d, fl_d, scal0)
+        filt, out, scal = fn(filt, codes_d, lengths_d, fl_d, scal0,
+                             jnp.zeros((B, 8), dtype=jnp.int64))
     jax.block_until_ready(scal)
     dt = (time.time() - t0) / n
     dec = np.asarray(out)[:, 0]
