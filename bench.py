@@ -162,16 +162,20 @@ def main():
     workdir = tempfile.mkdtemp(prefix="goldrush_bench_")
     reads = make_dataset(workdir)
 
+    # PRIMARY: the rank-compressed (memory-parity) filter at the shipped
+    # throughput settings — both the at-scale configuration (human G needs
+    # it, compressed.py:18-21) AND the fastest: its 57 MB rank-indexed id
+    # table keeps the per-recruit insert scatter in the fast small-table
+    # regime (~14 ns/elem vs ~92 ns into the 570 MB direct array —
+    # tools/profile_prims.py, round 4)
     throughput = measure_engine(
-        reads, workdir, "tp",
-        frame_stride=STRIDE, probe_seeds=PROBE_SEEDS, recheck="optimistic",
-        batch_reads=64)
-    # memory-parity (rank-compressed) mode at the same throughput settings:
-    # the configuration that fits human-scale genomes (compressed.py:18-21)
-    compressed = measure_engine(
         reads, workdir, "cz",
         frame_stride=STRIDE, probe_seeds=PROBE_SEEDS, recheck="optimistic",
         batch_reads=64, mibf_mode="compressed")
+    direct = measure_engine(
+        reads, workdir, "tp",
+        frame_stride=STRIDE, probe_seeds=PROBE_SEEDS, recheck="optimistic",
+        batch_reads=64)
     parity = measure_engine(reads, workdir, "parity")     # exact defaults
 
     micro = classify_microbench()
@@ -180,15 +184,16 @@ def main():
         "metric": "golden_path_engine_reads_per_s",
         "value": rps,
         "unit": f"reads/s (end-to-end pass 2: 20kb reads, 5Mbp genome, "
-                f"5% err, silver mode, stride {STRIDE}, {PROBE_SEEDS} probed "
-                f"seed, single chip)",
+                f"5% err, silver mode, rank-compressed filter, stride "
+                f"{STRIDE}, {PROBE_SEEDS} probed seed, all-seed insert + "
+                f"full-res trim recheck, single chip)",
         # denominator: MEASURED reference binary on this exact dataset,
         # 37.4 reads/s at 1 thread, extrapolated 48x ideal-linear (its
         # measured 2-thread scaling here is negative — see docstring)
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
         "vs_baseline_measured_1t": round(rps / BASELINE_READS_PER_S_1T, 2),
-        "compressed_reads_per_s": compressed["reads_per_s"],
-        "compressed_fill_s": compressed["fill_s"],
+        "direct_reads_per_s": direct["reads_per_s"],
+        "direct_fill_s": direct["fill_s"],
         "engine_parity_reads_per_s": parity["reads_per_s"],
         "parity_vs_baseline": round(
             parity["reads_per_s"] / BASELINE_READS_PER_S, 3),

@@ -53,20 +53,34 @@ def fill_rows(size: int) -> int:
     return -(-(size + 2) // FILL_COLS)
 
 
+def rank_alloc(size: int) -> int:
+    """Deterministic rank-array allocation for a filter sized at the
+    calcOptimalSize occupancy target (0.1): pop rarely exceeds 0.105*size;
+    the 1024 rounding keeps mesh axes dividing the banked sharding.  A
+    deterministic shape lets the consume executable be compiled (prewarmed)
+    before pass 1 finishes."""
+    return -(-int(size * 0.105 + 2) // 1024) * 1024
+
+
 def fill_bytes(presence: jax.Array, hashes: jax.Array, valid: jax.Array,
                size: int, slot_mode: str = "fastrange") -> jax.Array:
     """Pass-1 presence into a transient 2-D byte-per-slot array
     [rows, FILL_COLS] (flat slot s lives at [s >> 26, s & (2^26-1)]);
-    sorted + deduped so the scatter writes each slot once per batch."""
+    sorted + deduped so the scatter writes each slot once per batch.
+
+    The scatter itself is 1-D over the flattened array: XLA's 2-D
+    row/col scatter lowers to the slow general path (~10x the flat
+    scatter — measured round 4, the 44 s compressed fill), while the flat
+    index IS the slot."""
     slots = slot_of(hashes.reshape(-1), size, slot_mode)
     slots = jnp.where(valid.reshape(-1), slots, jnp.uint64(size))
     s = jax.lax.sort(slots.astype(jnp.int64))
     prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
     u_first = s != prev
-    R = presence.shape[0]
-    rows = jnp.where(u_first, (s >> 26).astype(jnp.int32), jnp.int32(R))
-    cols = (s & jnp.int64(FILL_COLS - 1)).astype(jnp.int32)
-    return presence.at[rows, cols].max(jnp.uint8(1), mode="drop")
+    R, C = presence.shape
+    idx = jnp.where(u_first, s, jnp.int64(R) * C)
+    flat = presence.reshape(-1).at[idx].max(jnp.uint8(1), mode="drop")
+    return flat.reshape(R, C)
 
 
 def freeze(presence: np.ndarray | jax.Array, size: int) -> CompressedState:
@@ -84,29 +98,57 @@ def freeze(presence: np.ndarray | jax.Array, size: int) -> CompressedState:
 
 
 def freeze_device(presence_dev: jax.Array, size: int) -> CompressedState:
-    """freeze() for the DEVICE-resident 2-D presence transient.
+    """freeze() for the DEVICE-resident 2-D presence transient — fully on
+    device: byte->bit packing, per-word popcounts, the exclusive rank
+    cumsum, superblocks and the (bits | rel-rank) assembly are dense XLA
+    ops; the host fetches ONE scalar (the total popcount) to size the
+    rank-indexed id/counter allocation.
 
-    Rows ship to the host one at a time (64 MB each — the relay
-    resource-exhausts on single multi-GB transfers) and pack via
-    np.packbits row-wise (bounded host memory at any genome sizing).
-    Beyond 2^32 total slots the filter cannot even be gathered on one
-    device, so genomes past G~150 Mbp at o=0.1 route to the banked mode
-    (model_shards >= 2), where each shard stays under both limits."""
+    (The previous implementation shipped every 64 MB presence row to the
+    host and packed with numpy — 20+ s of relay transfers at bench scale;
+    device-side freeze is ~100 ms.)  Beyond 2^32 total slots the filter
+    routes to the banked mode (model_shards >= 2) where each shard stays
+    under the transfer and index limits."""
     nw = -(-size // 32)
-    R, C = presence_dev.shape
-    bits = np.empty(R * C // 32, dtype=np.uint32)
-    wpr = C // 32
-    for i in range(R):
-        row = np.asarray(presence_dev[i]) != 0
-        bits[i * wpr: (i + 1) * wpr] = np.frombuffer(
-            np.packbits(row, bitorder="little").tobytes(), dtype=np.uint32)
-    bits = bits[:nw].copy()
-    # mirror freeze()'s presence[:size] truncation: bits past `size` in the
-    # final word (incl. the sentinel-slot byte fill_bytes may have set at
-    # index == size) must not count toward ranks
-    if size % 32:
-        bits[-1] &= np.uint32((1 << (size % 32)) - 1)
-    return _freeze_from_bits(bits, size)
+
+    @jax.jit
+    def pack(presence):
+        flat = (presence.reshape(-1) != 0)
+        n32 = flat.shape[0] // 32
+        b = flat[: n32 * 32].reshape(n32, 32)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        bits = (b.astype(jnp.uint32) * weights[None, :]).sum(
+            axis=1, dtype=jnp.uint32)
+        bits = bits[:nw]
+        if size % 32:
+            mask = jnp.uint32((1 << (size % 32)) - 1)
+            bits = bits.at[-1].set(bits[-1] & mask)
+        pops = jax.lax.population_count(bits).astype(jnp.int64)
+        cum = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                               jnp.cumsum(pops)[:-1]])
+        pop = cum[-1] + pops[-1]
+        words_per_super = 1 << (SUPER_BITS - 5)
+        n_super = max(-(-nw // words_per_super), 1)
+        super_base = cum[:: words_per_super][:n_super]
+        rel = (cum - jnp.repeat(super_base, words_per_super,
+                                total_repeat_length=n_super *
+                                words_per_super)[:nw]).astype(jnp.uint64)
+        bitrank = rel << jnp.uint64(32) | bits.astype(jnp.uint64)
+        bitrank = jnp.concatenate([bitrank, jnp.zeros(1, jnp.uint64)])
+        return bitrank, super_base.astype(jnp.uint64), pop
+
+    bitrank, supers, pop_d = pack(presence_dev)
+    pop = int(pop_d)
+    # prefer the size-DETERMINISTIC allocation (rank_alloc) so the consume
+    # executable's shapes are known before pass 1 finishes — the fill-time
+    # prewarm compiles against them; an unusually dense fill falls back to
+    # the pop-based size (different shape -> no prewarm reuse, still works)
+    alloc = max(rank_alloc(size), -(-(pop + 1) // 1024) * 1024)
+    return CompressedState(
+        bitrank=bitrank, supers=supers,
+        ids=jnp.zeros(alloc, dtype=jnp.uint32),
+        counts=jnp.zeros(alloc, dtype=jnp.uint32),
+    )
 
 
 def _popcount_u32(v: np.ndarray) -> np.ndarray:

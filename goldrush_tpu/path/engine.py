@@ -929,7 +929,7 @@ class GoldenPathEngine:
         executable build is the dominant first-batch cost in assign
         (~1.5-3 s of cache load per (B, T) bucket)."""
         self._prewarm_done = True
-        if self.compressed or self.mesh is not None or self.cfg.debug:
+        if self.mesh is not None or self.cfg.debug:
             return
         key = (self._pad_batch(B, T), T)
         if key in self._consume_fn or self._prewarm_thread is not None:
@@ -948,7 +948,21 @@ class GoldenPathEngine:
                 Bp, Tp = key
                 if big_filter:
                     return
-                dummy = dm.init_state(self.params)
+                if self.compressed:
+                    # shapes are size-deterministic (compressed.rank_alloc)
+                    # so the executable compiled here is the one assign
+                    # uses; the zero dummy state is semantically inert
+                    from ..mibf import compressed as cz
+                    nw = -(-self.params.size // 32)
+                    alloc = cz.rank_alloc(self.params.size)
+                    n_super = max(-(-nw // (1 << (cz.SUPER_BITS - 5))), 1)
+                    dummy = cz.CompressedState(
+                        bitrank=jnp.zeros(nw + 1, jnp.uint64),
+                        supers=jnp.zeros(n_super, jnp.uint64),
+                        ids=jnp.zeros(alloc, jnp.uint32),
+                        counts=jnp.zeros(alloc, jnp.uint32))
+                else:
+                    dummy = dm.init_state(self.params)
                 out = fn(dummy, jnp.zeros((Bp, Tp * TL + TL), jnp.uint8),
                          jnp.zeros(Bp, jnp.int32), jnp.zeros(Bp, jnp.int64),
                          jnp.asarray([0, 0, 1, 0], dtype=jnp.int64),
@@ -1097,6 +1111,7 @@ class GoldenPathEngine:
             out_all = jnp.concatenate([o[: b] for b, _, o in plans], axis=0)
             rows, scal = (np.asarray(a)
                           for a in jax.device_get((out_all, scal_d)))
+            self.last_rows = rows       # per-read decision rows (analysis)
         else:
             rows = np.zeros((0, 8), dtype=np.int64)
             scal = np.asarray(scal_d)

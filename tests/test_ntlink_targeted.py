@@ -78,3 +78,29 @@ def test_targeted_polish_cleans_fill():
         return sum(1 for a, b in zip(s, tgt)) and \
             sum(1 for a, b in zip(s, tgt) if a == b) / max(len(s), len(tgt))
     assert ident(after) >= ident(before) - 1e-9
+
+
+def test_gap_consensus_rejects_outlier_evidence():
+    """Multi-read gap consensus (VERDICT r3 item 6): the junction gap is
+    the MEDIAN over supporting reads and evidence deviating > gap_tol is
+    discarded — one repeat-confused read can neither set the distance nor
+    carry a join on its own at a >= 2."""
+    h1 = ntlink.mapping.Hit(tid=0, strand=1, q_start=0, q_end=4000,
+                            t_start=8000, t_end=12000, n_anchors=10, offset=0)
+    h2 = ntlink.mapping.Hit(tid=1, strand=1, q_start=4300, q_end=8000,
+                            t_start=0, t_end=3700, n_anchors=10, offset=0)
+    good = [(r, h1, h2, 300, False) for r in range(3)]
+    outlier = [(9, h1, h2, 9000, False)]
+    key = ((0, "tail"), (1, "head"))
+    p = ntlink.NtLinkParams(a=2, gap_tol=500)
+    cons = ntlink._consensus({key: good + outlier}, p)
+    gap, ev = cons[key]
+    assert gap == 300
+    assert len(ev) == 3 and all(e[3] == 300 for e in ev)
+    # a junction supported ONLY by mutually-inconsistent evidence keeps its
+    # largest consistent cluster (here: a single read) and then fails a>=2
+    lone = {key: [(0, h1, h2, 300, False), (1, h1, h2, 9000, False)]}
+    cons2 = ntlink._consensus(lone, p)
+    _, ev2 = cons2[key]
+    assert len(ev2) == 1
+    assert not ntlink._mutual_best({k: e for k, (_, e) in cons2.items()}, p)

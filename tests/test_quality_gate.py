@@ -80,3 +80,9 @@ def test_shipped_throughput_defaults_quality(dataset):
     # assembly-level invariant: silver fill stays ~= r*G*M
     fill = sum(lens) / (0.75 * G * 3)
     assert 0.9 <= fill <= 1.15, fill
+    # the rank-compressed filter (the bench-primary, at-scale mode) makes
+    # IDENTICAL decisions: slot->rank is a bijection on present slots, the
+    # max-id-wins insert and every vote/gate is keyed the same way
+    cids, clens = _run(d, fqp, "prodcz", frame_stride=8, probe_seeds=1,
+                       recheck="optimistic", mibf_mode="compressed")
+    assert cids == ids, (len(cids - ids), len(ids - cids))

@@ -27,6 +27,13 @@ VARIANTS = {
     "ins1rech": dict(frame_stride=8, probe_seeds=1, insert_seeds=1,
                      recheck="optimistic"),
     "s16": dict(frame_stride=16, probe_seeds=1, recheck="optimistic"),
+    "czship": dict(frame_stride=8, probe_seeds=1, recheck="optimistic",
+                   mibf_mode="compressed"),
+    "cznorech": dict(frame_stride=8, probe_seeds=1, recheck="optimistic",
+                     trim_recheck=False, mibf_mode="compressed"),
+    "czins1": dict(frame_stride=8, probe_seeds=1, insert_seeds=1,
+                   recheck="optimistic", trim_recheck=False,
+                   mibf_mode="compressed"),
 }
 
 
