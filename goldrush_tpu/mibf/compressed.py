@@ -72,13 +72,17 @@ def fill_bytes(presence: jax.Array, hashes: jax.Array, valid: jax.Array,
     row/col scatter lowers to the slow general path (~10x the flat
     scatter — measured round 4, the 44 s compressed fill), while the flat
     index IS the slot."""
+    R, C = presence.shape
+    # 32-bit sort/scatter indices whenever the flat array allows (the i64
+    # sort costs ~2x at bench scale); beyond 2^31 flat slots the filter is
+    # banked anyway
+    dt = jnp.int32 if R * C < 2 ** 31 else jnp.int64
     slots = slot_of(hashes.reshape(-1), size, slot_mode)
     slots = jnp.where(valid.reshape(-1), slots, jnp.uint64(size))
-    s = jax.lax.sort(slots.astype(jnp.int64))
+    s = jax.lax.sort(slots.astype(dt))
     prev = jnp.concatenate([jnp.full((1,), -1, dtype=s.dtype), s[:-1]])
     u_first = s != prev
-    R, C = presence.shape
-    idx = jnp.where(u_first, s, jnp.int64(R) * C)
+    idx = jnp.where(u_first, s, jnp.asarray(R, dt) * C)
     flat = presence.reshape(-1).at[idx].max(jnp.uint8(1), mode="drop")
     return flat.reshape(R, C)
 

@@ -54,6 +54,10 @@ TILE_BUDGET = 4096
 # stream over the input; beyond this many bases it falls back to
 # re-streaming (the reference's memory envelope must not be blown at scale)
 REPLAY_CACHE_BASES = 1_000_000_000
+# process-level consume-executable cache (engine._consume_key -> jitted fn):
+# engines with identical consume-relevant config share the compiled
+# executable instead of re-paying trace + XLA-cache deserialize per engine
+_CONSUME_CACHE: dict = {}
 
 
 @dataclass
@@ -254,6 +258,27 @@ class GoldenPathEngine:
         self._prewarm_done = False      # set when prewarm launched/declined
 
     # ------------------------------------------------------------------
+    def _maybe_prewarm(self, lengths) -> None:
+        """Feed read lengths into the first-batch grouping simulation and
+        launch the consume-executable prewarm thread once a batch closes.
+        Called from the earliest stream pass available (phred sampling
+        before fill) so the compile/cache-load overlaps maximum host work."""
+        if self._prewarm_thread is not None or self._prewarm_done:
+            return
+        TLp, capp = self.params.tile_length, self.cfg.max_tiles
+        pn, pT = self._prewarm_sim
+        for L in lengths:
+            T_r = _bucket_for(L // TLp, capp)
+            T_new = max(pT, T_r)
+            if pn and (pn + 1) * T_new > TILE_BUDGET:
+                self._launch_prewarm(pn, pT)
+                break
+            pn, pT = pn + 1, T_new
+            if pn >= self.batch_reads:
+                self._launch_prewarm(pn, pT)
+                break
+        self._prewarm_sim = (pn, pT)
+
     def calc_phred_threshold(self, path: str) -> None:
         """Auto threshold = max(10, median of first 50k passing reads)
         (goldrush_path.cpp:79-107)."""
@@ -267,6 +292,12 @@ class GoldenPathEngine:
                          if r.length >= self.cfg.min_length]
                 if not block:
                     continue
+                # the phred pass sees read lengths first — overlap the
+                # consume compile/cache-load with this scan + fill (the
+                # phred gate is not yet known; length-only grouping is the
+                # correct key for uniform-length streams and merely wastes
+                # the warm otherwise)
+                self._maybe_prewarm(r.length for r in block)
                 take = min(len(block), MEDIAN_SAMPLES_NEEDED - count)
                 scores[count:count + take] = [r.phred_avg
                                               for r in block[:take]]
@@ -385,20 +416,7 @@ class GoldenPathEngine:
                 # replicate the assign pass's first batch grouping on the
                 # eligible stream (same gates, same order) and prewarm its
                 # consume executable in a side thread while fill streams on
-                if self._prewarm_thread is None and not self._prewarm_done:
-                    TLp, capp = self.params.tile_length, self.cfg.max_tiles
-                    pn, pT = self._prewarm_sim
-                    for r in good:
-                        T_r = _bucket_for(r.length // TLp, capp)
-                        T_new = max(pT, T_r)
-                        if pn and (pn + 1) * T_new > TILE_BUDGET:
-                            self._launch_prewarm(pn, pT)
-                            break
-                        pn, pT = pn + 1, T_new
-                        if pn >= self.batch_reads:
-                            self._launch_prewarm(pn, pT)
-                            break
-                    self._prewarm_sim = (pn, pT)
+                self._maybe_prewarm(r.length for r in good)
                 # fixed batch/length buckets keep jit shapes stable
                 FB = 64
                 good.sort(key=lambda r: r.length)
@@ -566,10 +584,27 @@ class GoldenPathEngine:
         with self._consume_lock:
             return self._consume_for_locked(key)
 
+    def _consume_key(self, B, T):
+        """Process-level cache key: every config bit the consume closure
+        bakes in.  MibfParams is a frozen dataclass (hashable); meshes are
+        excluded (mesh engines keep per-engine executables)."""
+        cfg = self.cfg
+        return (B, T, self.params, self.params_ins, self.compressed,
+                cfg.recheck, cfg.trim_recheck, cfg.insert_stride,
+                cfg.silver_path, int(cfg.target_bases()), cfg.max_paths,
+                cfg.unassigned_min, cfg.assigned_max, cfg.threshold,
+                self.h_active, self.h_ins, tuple(self.seeds))
+
     def _consume_for_locked(self, key):
         B, T = key
         if key in self._consume_fn:
             return self._consume_fn[key]
+        if self.mesh is None:
+            gkey = self._consume_key(B, T)
+            fn = _CONSUME_CACHE.get(gkey)
+            if fn is not None:
+                self._consume_fn[key] = fn
+                return fn
         params, params_ins = self.params, self.params_ins
         params_full = self.params_full
         fam, fam_ins = self.fam_q, self.fam_ins
@@ -806,7 +841,16 @@ class GoldenPathEngine:
                     # strides would have caught via sampling noise
                     S_ = params.frame_stride
                     weak = tmin * S_ < 2 * cfg.threshold
-                    zone = (((na > 0) & (na < n_t)) | (dec == 2)
+                    # partial drops re-classify only when they carry a
+                    # meaningful unassigned stretch (>= 3 tiles) or sit at
+                    # the whole-read boundary (na near assigned_max):
+                    # fragmented single-tile dropouts are sampling noise
+                    # the exact classifier drops too (zone rate 75% -> ~55%
+                    # measured, tools/calib_gate.py round 4)
+                    stretch = te.astype(jnp.int32) - ts.astype(jnp.int32) - 1
+                    partial = (na > 0) & (na < n_t) & \
+                        ((stretch >= 3) | (na <= a_max + 2))
+                    zone = (partial | (dec == 2)
                             | ((na >= n_t) & weak)) & (done == 0)
 
                     def use_full(_):
@@ -896,8 +940,12 @@ class GoldenPathEngine:
             return repack(sf), rows, scal
 
         if mesh is None:
-            self._consume_fn[key] = jax.jit(consume,
-                                            donate_argnums=(0, 4, 5))
+            fn = jax.jit(consume, donate_argnums=(0, 4, 5))
+            self._consume_fn[key] = fn
+            # share the jitted executable across engines in this process:
+            # repeated runs (bench warm/measure, sweeps) otherwise re-pay
+            # the trace + persistent-cache deserialize (~3-5 s) per engine
+            _CONSUME_CACHE[self._consume_key(B, T)] = fn
         else:
             data, repl_ = self._shard_data, self._shard_repl
             filt_sh = self._filt_shardings()
