@@ -86,3 +86,47 @@ def test_shipped_throughput_defaults_quality(dataset):
     cids, clens = _run(d, fqp, "prodcz", frame_stride=8, probe_seeds=1,
                        recheck="optimistic", mibf_mode="compressed")
     assert cids == ids, (len(cids - ids), len(ids - cids))
+
+
+def test_repeat_genome_silver_stage(tmp_path):
+    """Silver-path stage on a repeat-structured genome with
+    homopolymer-biased ONT-profile errors (tandem + dispersed repeats are
+    what the classifier smoothing exists for; uniform-random genomes never
+    stress it).  Gates: genome coverage of the recruit set and silver fill
+    stay at the reference's operating point (tools/repeat_validate.py runs
+    the full-pipeline version of this audit)."""
+    import re
+    G2 = 1_000_000
+    genome = synth.repeat_genome(G2, seed=91)
+    reads = synth.simulate_reads(genome, 600, 20_000, seed=92,
+                                 err_rate=0.05, indel_frac=0.4,
+                                 homopolymer_bias=0.6)
+    fqp = str(tmp_path / "reads.fq")
+    synth.write_fastq(fqp, reads)
+    cfg = PathConfig(input=fqp, genome_size=G2, kmer_size=22, weight=16,
+                     hash_num=3, seed_preset=PRESET, silver_path=True,
+                     max_paths=3, ratio=0.75, min_length=15_000,
+                     prefix_file=str(tmp_path / "rep"), batch_reads=64,
+                     frame_stride=8, probe_seeds=1, recheck="optimistic")
+    GoldenPathEngine(cfg).run()
+    iv = []
+    total = 0
+    for i in (1, 2, 3):
+        p = str(tmp_path / f"rep_{i}.fq")
+        if os.path.exists(p):
+            for r in fastq.read_records(p):
+                total += len(r.seq)
+                m = re.search(r"_p(\d+)", r.id)
+                if m:
+                    s = int(m.group(1))
+                    iv.append((s, min(s + len(r.seq), G2)))
+    fill = total / (0.75 * G2 * 3)
+    assert 0.85 <= fill <= 1.2, fill
+    iv.sort()
+    covered, end = 0, 0
+    for s, e in iv:
+        s = max(s, end)
+        if e > s:
+            covered += e - s
+            end = e
+    assert covered / G2 >= 0.85, covered / G2
