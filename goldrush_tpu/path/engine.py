@@ -169,9 +169,7 @@ class GoldenPathEngine:
             # letting every single spurious frame vote become a candidate
             # (reference gate: count > 2, goldrush_path.cpp:616); stride=1
             # keeps the exact reference gate
-            frame_stride=S, vote_min=int(__import__("os").environ.get(
-                "GOLDRUSH_VOTE_MIN",
-                2 // S if S == 1 else max(1, 2 // S))),
+            frame_stride=S, vote_min=2 // S if S == 1 else max(1, 2 // S),
             probe_seeds=0, slot_map=cfg.slot_map)
         # insertion is full-resolution by default regardless of the query
         # stride; cfg.insert_stride > 1 samples the inserted frames too

@@ -29,6 +29,8 @@ VARIANTS = {
     "s16": dict(frame_stride=16, probe_seeds=1, recheck="optimistic"),
     "czship": dict(frame_stride=8, probe_seeds=1, recheck="optimistic",
                    mibf_mode="compressed"),
+    "czb128": dict(frame_stride=8, probe_seeds=1, recheck="optimistic",
+                   mibf_mode="compressed", batch_reads=128),
     "cznorech": dict(frame_stride=8, probe_seeds=1, recheck="optimistic",
                      trim_recheck=False, mibf_mode="compressed"),
     "czins1": dict(frame_stride=8, probe_seeds=1, insert_seeds=1,
@@ -50,8 +52,9 @@ def main():
             cfg = PathConfig(
                 input=reads, genome_size=GENOME, kmer_size=22, weight=16,
                 hash_num=3, seed_preset=PRESET, silver_path=True,
-                max_paths=5, min_length=20_000, batch_reads=64,
-                prefix_file=os.path.join(workdir, f"{name}_{rep}"), **kw)
+                max_paths=5, min_length=20_000,
+                prefix_file=os.path.join(workdir, f"{name}_{rep}"),
+                **{"batch_reads": 64, **kw})
             eng = GoldenPathEngine(cfg)
             st = eng.run()
         print(f"{name:10s} fill={st.wall_fill_s:6.2f} "
