@@ -21,7 +21,8 @@ fi
 
 echo "== 2/3 CLI smoke (--help parity surface) =="
 python -m goldrush_tpu.cli help > /dev/null
-GOLDRUSH_PLATFORM=cpu python - <<'EOF'
+GOLDRUSH_PLATFORM=cpu \
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'EOF'
 import __graft_entry__ as g
 g.dryrun_multichip(8)
 print("dryrun_multichip(8) ok")
