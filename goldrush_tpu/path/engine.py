@@ -333,7 +333,15 @@ class GoldenPathEngine:
             st.num_passed_reads = -1     # unknown; loaded
             st.wall_fill_s += time.time() - t0
             return
-        if self.compressed:
+        # non-banked compressed fills reuse the DIRECT presence path (a
+        # flat u32 scatter — ~5x faster than the byte-row transient at
+        # bench scale) and pack/rank from the words' PRESENT bit; the
+        # banked mode keeps the byte rows (1 B/slot per shard at genome
+        # scale where the 4 B/slot transient would not fit)
+        cz_via_words = (self.compressed and self._shard_filt is None
+                        and self.params.alloc * 4 * 3
+                        < _device_memory_bytes())
+        if self.compressed and not cz_via_words:
             from ..mibf import compressed as cz
             R = cz.fill_rows(self.params.size)
             if self._shard_filt is not None:
@@ -341,6 +349,10 @@ class GoldenPathEngine:
             words = jnp.zeros((R, cz.FILL_COLS), dtype=jnp.uint8)
             if self._shard_filt is not None:
                 words = jax.device_put(words, self._shard_filt)
+        elif cz_via_words:
+            # the direct-layout state allocated at __init__ serves as the
+            # presence transient; freed right after the freeze below
+            words = self.state.words
         else:
             words = self.state.words
         # presence covers every seed the engine will ever probe: the
@@ -358,7 +370,7 @@ class GoldenPathEngine:
                 return self._fill_fn[P]
             size, mode, fam = self.params.size, self.cfg.slot_map, fam_fill
             idx_dtype = self.params.idx_dtype
-            if self.compressed:
+            if self.compressed and not cz_via_words:
                 from ..mibf import compressed as cz
 
                 def step(words, codes, valid):
@@ -437,8 +449,12 @@ class GoldenPathEngine:
                 "no reads passed the Phred score and min length requirements")
         if self.compressed:
             from ..mibf import compressed as cz
-            self.cstate = cz.freeze_device(words, self.params.size)
+            if cz_via_words:
+                self.cstate = cz.freeze_device_words(words, self.params.size)
+            else:
+                self.cstate = cz.freeze_device(words, self.params.size)
             del words
+            self.state = None       # free the direct-layout transient
             if self._shard_filt is not None:
                 # bank the rank-indexed id/counter arrays over 'model' (the
                 # rank structure itself is small and replicated) — the
