@@ -6,9 +6,11 @@ Primary metric: `GoldenPathEngine.assign` reads/s — the full product path
 sequential recruit scan -> path-file writes) on a synthetic ONT-like dataset
 (5 Mbp genome, ~12x 20 kb reads, 5% error) in silver-path mode, i.e. the
 same work `goldrush-path --silver_path` does (goldrush_path.cpp:1096-1275).
-Reported for the production throughput settings (frame_stride 8, 1 probed
-seed, optimistic recheck) with the exact-parity settings (stride 1, all
-seeds, exact recheck — bit-identical to the reference binary per
+Reported for the SHIPPED production throughput settings — rank-compressed
+filter, frame_stride 8, 1 probed seed, all-seed scatter-max insert,
+full-resolution trim recheck, optimistic recheck — with the direct-filter
+variant and the exact-parity settings (stride 1, all seeds, exact
+recheck — bit-identical to the reference binary per
 tests/test_ref_parity.py) alongside.
 
 Timing: the first engine run warms the persistent XLA cache; the reported
