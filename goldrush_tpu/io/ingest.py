@@ -61,6 +61,29 @@ class PreppedRead:
             return None
         return np.frombuffer(q, dtype=np.uint8) if isinstance(q, bytes) else q
 
+    def pinned_nbytes(self, seen: set) -> int:
+        """Bytes of backing allocations this record newly pins, given the
+        id()s of allocations already accounted in ``seen``.
+
+        A record's views keep their WHOLE block buffer alive (including
+        bytes of non-eligible reads), so holders (the engine's replay
+        cache) must budget by retained allocation bytes, not logical read
+        length."""
+        total = 0
+        for a in (self.codes, self._seq, self._qual):
+            if a is None:
+                continue
+            if isinstance(a, np.ndarray):
+                base = a.base if a.base is not None else a
+                if id(base) not in seen:
+                    seen.add(id(base))
+                    total += base.nbytes
+            else:                      # bytes: owns exactly its own payload
+                if id(a) not in seen:
+                    seen.add(id(a))
+                    total += len(a)
+        return total
+
 
 def _prep_python_block(block: list[fastq.Record]) -> list[PreppedRead]:
     """Python fallback: vectorized phred stats + per-record encode."""

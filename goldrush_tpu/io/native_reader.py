@@ -81,13 +81,14 @@ def read_native_blocks(path: str, max_records: int = 512,
             if n < 0:
                 raise RuntimeError(f"seqio_read_block error {n} on {path}")
             name_list = bytes(names.tobytes()).split(b"\0")[:n]
-            # trim the 3 seq_cap-sized buffers to the bytes actually used:
-            # blocks usually close on the record-count limit long before
-            # filling seq_cap, and downstream record views (e.g. the
-            # engine's replay cache) would otherwise pin the whole 3 x 64 MB
-            # allocation per block for the lifetime of any single view
+            # trim the 3 seq_cap-sized buffers to the bytes actually used
+            # (unconditionally: a block closing at e.g. 60 of 64 MB would
+            # otherwise still pin the full 3 x 64 MB allocation for the
+            # lifetime of any single downstream record view, and the
+            # engine's replay-cache byte accounting assumes retained ==
+            # used; the copy costs at most one memcpy of the data itself)
             used = int(offsets[n])
-            if used < seq_cap // 2:
+            if used < seq_cap:
                 seq = seq[:used].copy()
                 codes = codes[:used].copy()
                 quals = quals[:used].copy()

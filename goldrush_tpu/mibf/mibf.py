@@ -654,9 +654,13 @@ def insert_read_max(words: jax.Array, slots_ins: jax.Array,
     tools/profile_scan.py), and the counts array is untouched.
 
     slots_ins: [H, T*F] insert grid (sentinel-padded) at full insert
-    resolution for the PROBED seeds only — ids written for never-probed
-    seeds are invisible to every query, so throughput mode skips them
-    (mibf.MibfParams.probe_seeds semantics).
+    resolution.  The engine builds it with fam_ins — ALL insert seeds
+    (default: all h), not just the probed prefix: ids at unprobed seeds'
+    slots are invisible to the sampled tier's direct hits, but they set
+    the filter's background vote statistics that the reference's trim
+    flank heuristics read, and the full-resolution trim recheck probes
+    all insert seeds (measured in tools/calib_gate.py: 1-seed-everything
+    loses 0.07 Jaccard vs exact with no threshold rescue).
     """
     H, TF = slots_ins.shape
     F = TF // num_tiles

@@ -50,10 +50,12 @@ BUCKETS = (1, 2, 4, 8, 12, 16, 20, 24, 32, 48, 64, 96, 128, 192, 256,
 # padding a whole 64-read batch to their bucket
 TILE_BUDGET = 4096
 # replay-record cache cap: the submit pass keeps eligible records in memory
-# (seq/qual/codes views, ~3 bytes/base) so the replay pass skips the second
-# stream over the input; beyond this many bases it falls back to
+# (seq/qual/codes views pinning their block buffers) so the replay pass
+# skips the second stream over the input; beyond this many RETAINED
+# allocation bytes (counted via PreppedRead.pinned_nbytes — views pin whole
+# block buffers, so logical base counts undercount) it falls back to
 # re-streaming (the reference's memory envelope must not be blown at scale)
-REPLAY_CACHE_BASES = 1_000_000_000
+REPLAY_CACHE_BYTES = 3_000_000_000
 # process-level consume-executable cache (engine._consume_key -> jitted fn):
 # engines with identical consume-relevant config share the compiled
 # executable instead of re-paying trace + XLA-cache deserialize per engine
@@ -314,14 +316,25 @@ class GoldenPathEngine:
         rank-compressed structure (the reference's setup() analog)."""
         t0 = time.time()
         st = self.stats
+        # the phred pass may have fed lengths of pre-phred-gate reads into
+        # the prewarm simulation without closing a batch; restart the
+        # simulation so this pass's eligible stream is counted exactly once
+        if self._prewarm_thread is None and not self._prewarm_done:
+            self._prewarm_sim = (0, 1)
         if self.cfg.load_mibf:
             # resume from a saved filter: skip pass 1 entirely (the gate
             # bookkeeping of the skipped pass is not reconstructed; combine
             # with -f for explicit exclusions)
             state, meta = dm.load_state(self.cfg.load_mibf)
-            want = dict(size=self.params.size, h=self.params.h,
-                        k=self.params.k, spans=tuple(self.params.spans),
-                        tile_length=self.params.tile_length)
+            # geometry check keys on the FILL-side params (params_full:
+            # h_ins seeds, full spans): a filter's contents are determined
+            # by what was inserted, not by the probed-seed prefix — a
+            # filter saved by an exact engine must load into a
+            # probe_seeds=1 engine with the same fill geometry (and two
+            # engines differing in insert_seeds must NOT compare equal)
+            pf = self.params_full
+            want = dict(size=pf.size, h=pf.h, k=pf.k,
+                        spans=tuple(pf.spans), tile_length=pf.tile_length)
             if meta != want:
                 raise ValueError(
                     f"saved miBF geometry {meta} != engine {want}")
@@ -602,8 +615,15 @@ class GoldenPathEngine:
         """Process-level cache key: every config bit the consume closure
         bakes in.  MibfParams is a frozen dataclass (hashable); meshes are
         excluded (mesh engines keep per-engine executables)."""
+        import os as _os
         cfg = self.cfg
-        return (B, T, self.params, self.params_ins, self.compressed,
+        # the resolved fast-insert flag is baked into the closure (see
+        # _consume_for_locked); keying on it keeps a mid-process
+        # GOLDRUSH_NO_FASTINS toggle (A/B comparisons) from reusing a
+        # cached executable with the wrong insert rule
+        fast = (cfg.recheck != "exact"
+                and not _os.environ.get("GOLDRUSH_NO_FASTINS"))
+        return (B, T, self.params, self.params_ins, self.compressed, fast,
                 cfg.recheck, cfg.trim_recheck, cfg.insert_stride,
                 cfg.silver_path, int(cfg.target_bases()), cfg.max_paths,
                 cfg.unassigned_min, cfg.assigned_max, cfg.threshold,
@@ -1071,9 +1091,11 @@ class GoldenPathEngine:
         read_T: list[int] = []                      # per-eligible-read bucket
         # submit-pass record cache: replay skips the second input stream
         # when the whole eligible stream fits the cap (records hold views
-        # into the ingest block buffers, ~3 bytes/base)
+        # into the ingest block buffers; the budget counts the RETAINED
+        # allocation bytes those views pin, not logical bases)
         cache: list | None = []
-        cached_bases = 0
+        cached_bytes = 0
+        cache_bufs: set = set()
         scal_d = jnp.asarray([0, 0, 1, 0], dtype=jnp.int64)
 
         def submit(batch):
@@ -1132,9 +1154,10 @@ class GoldenPathEngine:
         for rec in self._eligible(path):
             if cache is not None:
                 cache.append(rec)
-                cached_bases += rec.length
-                if cached_bases > REPLAY_CACHE_BASES:
+                cached_bytes += rec.pinned_nbytes(cache_bufs)
+                if cached_bytes > REPLAY_CACHE_BYTES:
                     cache = None        # too big: replay re-streams
+                    cache_bufs.clear()
             T_r = _bucket_for(rec.length // TL, cap)
             T_new = max(pend_T, T_r)
             if pending and (len(pending) + 1) * T_new > TILE_BUDGET:
@@ -1274,7 +1297,9 @@ class GoldenPathEngine:
             with obs.phase_timer("inserting bit vector", self.cfg.verbose):
                 self.fill(path)
             if self.cfg.save_mibf:
-                dm.save_state(self.state, self.params, self.cfg.save_mibf)
+                # save the FILL-side geometry (see the load check in fill())
+                dm.save_state(self.state, self.params_full,
+                              self.cfg.save_mibf)
             if self.cfg.verbose:
                 obs.log_filter_breakdown(self.stats)
             with obs.phase_timer("assigned", self.cfg.verbose):

@@ -112,8 +112,13 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
     # cleanup removes the silver intermediates after the golden pass, and a
     # resume must not rebuild them (.SECONDARY semantics, bin/goldrush:133)
     last_silver = files["silver"][-1]
+    # until="silver" explicitly requests the silver output: rebuild it even
+    # when a later dev=False run already produced the golden path and
+    # removed the silver intermediates (returning the recorded path would
+    # otherwise dangle at a deleted file)
+    want_silver = stop == order.index("silver")
     if not os.path.exists(files["silver_all"]) and \
-            not os.path.exists(files["golden"]):
+            (want_silver or not os.path.exists(files["golden"])):
         if not os.path.exists(last_silver):
             def silver():
                 pc = cfg.path_config(silver=True)
