@@ -11,9 +11,13 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 # explicit platform override (e.g. GOLDRUSH_PLATFORM=cpu to keep a run off
-# the TPU); honored via jax config because some environments pin
-# JAX_PLATFORMS at the site level
-_plat = os.environ.get("GOLDRUSH_PLATFORM")
+# the TPU); honored via jax config because some environments force-register
+# an accelerator plugin and ignore the JAX_PLATFORMS env var — which is why
+# JAX_PLATFORMS is ALSO re-applied through the config route here (the
+# multichip dry run sets it and expects every engine run on the virtual
+# CPU mesh, single-device anchors included)
+_plat = os.environ.get("GOLDRUSH_PLATFORM") or os.environ.get(
+    "JAX_PLATFORMS")
 if _plat:
     jax.config.update("jax_platforms", _plat)
 

@@ -102,6 +102,18 @@ class PathConfig:
                                     # trim-decision channel at ~1 ms per
                                     # boundary read (no-op at stride 1 with
                                     # all seeds probed, or insert_stride>1)
+    wavefront: bool = True          # throughput mode (recheck="optimistic"):
+                                    # consume windows of reads as batched
+                                    # wavefront ROUNDS — dense data-parallel
+                                    # classification, probe-slot conflict
+                                    # detection, merged multi-recruit insert
+                                    # scatters — instead of the per-read
+                                    # sequential scan (path/wavefront.py).
+                                    # Same optimistic staleness class,
+                                    # quality-gated; exact mode ignores this
+    wave_window: int = 256          # reads per wavefront window (the batch
+                                    # the round fixpoint runs over; larger =
+                                    # more batching, more rounds per window)
     recheck: str = "exact"          # batch-staleness policy: "exact" re-runs
                                     # every read against the live filter once
                                     # it changed mid-batch (reference-identical
@@ -172,6 +184,8 @@ class PathConfig:
             raise ValueError("probed seeds must be a subset of insert_seeds")
         if self.recheck not in ("exact", "optimistic"):
             raise ValueError(f"unknown recheck {self.recheck!r}")
+        if self.wave_window < 1:
+            raise ValueError("wave_window must be >= 1")
         if self.model_shards < 1:
             raise ValueError("model_shards must be >= 1")
         if (self.save_mibf or self.load_mibf) and \

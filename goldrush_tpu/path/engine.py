@@ -49,6 +49,10 @@ BUCKETS = (1, 2, 4, 8, 12, 16, 20, 24, 32, 48, 64, 96, 128, 192, 256,
 # rare ultralong reads (large T buckets) run in small batches instead of
 # padding a whole 64-read batch to their bucket
 TILE_BUDGET = 4096
+# the wavefront consume amortizes per-window fixed costs over bigger
+# windows; its budget bounds the full-resolution grid memory
+# (~budget * tile_length * h * 16 B ≈ 400 MB at 8192)
+WAVE_TILE_BUDGET = 8192
 # replay-record cache cap: the submit pass keeps eligible records in memory
 # (seq/qual/codes views pinning their block buffers) so the replay pass
 # skips the second stream over the input; beyond this many RETAINED
@@ -101,17 +105,7 @@ def _device_memory_bytes() -> int:
         return 16 << 30
 
 
-def _tile_min_count(top_count: jax.Array, n_tiles: jax.Array) -> jax.Array:
-    """Per-read minimum top vote count over in-read tiles: int32 [B].
-
-    The trim-recheck margin signal — a read whose weakest tile is close to
-    the assignment gate re-classifies at full resolution regardless of how
-    confidently the sampled tier scored the rest."""
-    B, T = top_count.shape
-    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-    in_read = t_idx < n_tiles[:, None]
-    big = jnp.int32(1 << 30)
-    return jnp.min(jnp.where(in_read, top_count, big), axis=1)
+from .engine_util import tile_min_count as _tile_min_count  # noqa: E402
 
 
 def _bucket_for(num_tiles: int, cap: int) -> int:
@@ -239,6 +233,18 @@ class GoldenPathEngine:
         # (the reference consumer is sequential, goldrush_path.cpp:1229).
         # Kept as engine state — cfg is the caller's object, never mutated.
         self.batch_reads = 1 if cfg.debug else cfg.batch_reads
+        # wavefront consume (path/wavefront.py): the throughput-mode batched
+        # round engine.  Active only with the optimistic+scatter-max policy
+        # (its semantics class); GOLDRUSH_NO_WAVE forces the sequential
+        # scan for A/B comparisons.  Windows are wave_window-read batches.
+        import os as _os
+        self._wave = (cfg.recheck == "optimistic" and cfg.wavefront
+                      and not cfg.debug
+                      and not _os.environ.get("GOLDRUSH_NO_FASTINS")
+                      and not _os.environ.get("GOLDRUSH_NO_WAVE"))
+        if self._wave:
+            self.batch_reads = max(self.batch_reads, cfg.wave_window)
+        self._tile_budget = WAVE_TILE_BUDGET if self._wave else TILE_BUDGET
         # -j: host-side pipelining depth — the producer thread may run this
         # many ingest blocks ahead of the device (the TPU analog of the
         # reference's OpenMP thread count, goldrush_path.cpp:1101-1103;
@@ -270,7 +276,7 @@ class GoldenPathEngine:
         for L in lengths:
             T_r = _bucket_for(L // TLp, capp)
             T_new = max(pT, T_r)
-            if pn and (pn + 1) * T_new > TILE_BUDGET:
+            if pn and (pn + 1) * T_new > self._tile_budget:
                 self._launch_prewarm(pn, pT)
                 break
             pn, pT = pn + 1, T_new
@@ -624,6 +630,7 @@ class GoldenPathEngine:
         fast = (cfg.recheck != "exact"
                 and not _os.environ.get("GOLDRUSH_NO_FASTINS"))
         return (B, T, self.params, self.params_ins, self.compressed, fast,
+                self._wave,
                 cfg.recheck, cfg.trim_recheck, cfg.insert_stride,
                 cfg.silver_path, int(cfg.target_bases()), cfg.max_paths,
                 cfg.unassigned_min, cfg.assigned_max, cfg.threshold,
@@ -973,6 +980,12 @@ class GoldenPathEngine:
             scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
             return repack(sf), rows, scal
 
+        if fast and self._wave:
+            # throughput mode ships the wavefront consume: batched rounds
+            # with merged insert scatters replace the sequential per-read
+            # scan (path/wavefront.py; same signature/donation contract)
+            from .wavefront import build_wave_consume
+            consume = build_wave_consume(self, B, T)
         if mesh is None:
             fn = jax.jit(consume, donate_argnums=(0, 4, 5))
             self._consume_fn[key] = fn
@@ -998,7 +1011,7 @@ class GoldenPathEngine:
         (shared by the submit pass and the fill-time prewarm so their keys
         agree)."""
         Bpad = max(B, self.batch_reads)
-        if Bpad * T > TILE_BUDGET:
+        if Bpad * T > self._tile_budget:
             Bpad = 1 << max(0, (B - 1)).bit_length()
         if self.mesh is not None:           # data axis must divide the batch
             d = int(self.data_shards)
@@ -1160,7 +1173,7 @@ class GoldenPathEngine:
                     cache_bufs.clear()
             T_r = _bucket_for(rec.length // TL, cap)
             T_new = max(pend_T, T_r)
-            if pending and (len(pending) + 1) * T_new > TILE_BUDGET:
+            if pending and (len(pending) + 1) * T_new > self._tile_budget:
                 submit(pending)
                 pending = []
                 T_new = T_r
