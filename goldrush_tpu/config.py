@@ -102,15 +102,22 @@ class PathConfig:
                                     # trim-decision channel at ~1 ms per
                                     # boundary read (no-op at stride 1 with
                                     # all seeds probed, or insert_stride>1)
-    wavefront: bool = True          # throughput mode (recheck="optimistic"):
+    wavefront: bool = False         # throughput mode (recheck="optimistic"):
                                     # consume windows of reads as batched
-                                    # wavefront ROUNDS — dense data-parallel
-                                    # classification, probe-slot conflict
-                                    # detection, merged multi-recruit insert
-                                    # scatters — instead of the per-read
-                                    # sequential scan (path/wavefront.py).
-                                    # Same optimistic staleness class,
-                                    # quality-gated; exact mode ignores this
+                                    # wavefront ROUNDS — overlap-adjacency
+                                    # conflict detection, merged
+                                    # multi-recruit insert scatters,
+                                    # read-order id reservations and a
+                                    # two-table earliest/latest-winner
+                                    # bracket (path/wavefront.py).  ~2x the
+                                    # sequential scan's throughput on-chip,
+                                    # but its recruit-set Jaccard vs the
+                                    # exact engine measures 0.883 on the
+                                    # calibration dataset — below the 0.90
+                                    # gate the default sequential
+                                    # optimistic scan meets (0.912), so it
+                                    # ships opt-in (see wavefront.py for
+                                    # the measured staleness analysis)
     wave_window: int = 256          # reads per wavefront window (the batch
                                     # the round fixpoint runs over; larger =
                                     # more batching, more rounds per window)

@@ -707,20 +707,24 @@ class GoldenPathEngine:
             # mode — counts and the rank structure pass through untouched.
             if compressed and fast:
                 br, su, cn = filt.bitrank, filt.supers, filt.counts
+                # the slot grids are mapped through the FROZEN rank
+                # structure ONCE (batched, below) — every in-scan probe and
+                # insert is then a pure id-table gather/scatter with zero
+                # per-read rank work (cz.rank_grid; measured ~40% of the
+                # per-recruit insert cost in round 4)
 
-                def probe(sf, s, ok):
-                    st = cz.CompressedState(br, su, sf, cn)
-                    return cz.probe_and_vote(st, s, ok, params, num_tiles=T)
+                def probe(sf, r, ok):
+                    return cz.probe_and_vote_ranks(sf, r, ok, params,
+                                                   num_tiles=T)
 
-                def probe_full(sf, s, ok):
-                    st = cz.CompressedState(br, su, sf, cn)
-                    return cz.probe_and_vote(st, s, ok, params_full,
-                                             num_tiles=T)
+                def probe_full(sf, r, ok):
+                    return cz.probe_and_vote_ranks(sf, r, ok, params_full,
+                                                   num_tiles=T)
 
-                def insert_sf(sf, si, crow, ln, sq, lo, hi, base, trimmed):
-                    st = cz.CompressedState(br, su, sf, cn)
-                    return cz.insert_read_max(st, si, lo, hi, base, trimmed,
-                                              params_ins, num_tiles=T)
+                def insert_sf(sf, ri, crow, ln, rq, lo, hi, base, trimmed):
+                    return cz.insert_ranks_max(sf, ri, lo, hi, base,
+                                               trimmed, params_ins,
+                                               num_tiles=T)
 
                 def reset(sf):
                     return jnp.zeros_like(sf)
@@ -819,9 +823,6 @@ class GoldenPathEngine:
             n_tiles = (lengths // TL).astype(jnp.int32)
             slots_q, frame_ok = dm.build_slot_grid(codes, lengths, fam,
                                                    params, T)
-            sf0 = sf_of(filt)
-            votes0 = probe(sf0, slots_q, frame_ok)
-            res0 = classify(votes0, n_tiles)
             if fast or rech_on:
                 # fast inserts and the trim recheck consume a BATCHED
                 # full-res insert-seed grid built up front (no per-recruit
@@ -835,6 +836,16 @@ class GoldenPathEngine:
                 slots_ins = jnp.zeros((codes.shape[0], 1, 1),
                                       dtype=params.idx_dtype)
                 ok_full = jnp.zeros((codes.shape[0], 1), dtype=bool)
+            if compressed and fast:
+                # batched slot -> rank mapping (the structure is frozen);
+                # the scan then runs entirely in rank space
+                shell = cz.CompressedState(br, su, filt.ids, cn)
+                slots_q = cz.rank_grid(shell, slots_q, params.size)
+                if fast or rech_on:
+                    slots_ins = cz.rank_grid(shell, slots_ins, params.size)
+            sf0 = sf_of(filt)
+            votes0 = probe(sf0, slots_q, frame_ok)
+            res0 = classify(votes0, n_tiles)
 
             def body(carry, xs):
                 (sf, rows, ids_ins, ins_bases, path_idx, done, changed,
@@ -980,14 +991,18 @@ class GoldenPathEngine:
             scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
             return repack(sf), rows, scal
 
-        if fast and self._wave:
-            # throughput mode ships the wavefront consume: batched rounds
-            # with merged insert scatters replace the sequential per-read
-            # scan (path/wavefront.py; same signature/donation contract)
+        wave = fast and self._wave
+        if wave:
+            # throughput mode may ship the wavefront consume: batched
+            # rounds with merged insert scatters replace the sequential
+            # per-read scan (path/wavefront.py).  It threads one extra
+            # donated buffer (the earliest-wins side table) through the
+            # call.
             from .wavefront import build_wave_consume
             consume = build_wave_consume(self, B, T)
+        donate = (0, 4, 5, 6) if wave else (0, 4, 5)
         if mesh is None:
-            fn = jax.jit(consume, donate_argnums=(0, 4, 5))
+            fn = jax.jit(consume, donate_argnums=donate)
             self._consume_fn[key] = fn
             # share the jitted executable across engines in this process:
             # repeated runs (bench warm/measure, sweeps) otherwise re-pay
@@ -996,13 +1011,15 @@ class GoldenPathEngine:
         else:
             data, repl_ = self._shard_data, self._shard_repl
             filt_sh = self._filt_shardings()
+            side_sh = (self._shard_filt,) if wave else ()
             self._consume_fn[key] = jax.jit(
-                consume, donate_argnums=(0, 4, 5),
+                consume, donate_argnums=donate,
                 # prefix pytrees: the filter state replicated (or banked
                 # over 'model' when model_shards > 1), batch arrays sharded
                 # over the data axis
-                in_shardings=(filt_sh, data, data, data, repl_, repl_),
-                out_shardings=(filt_sh, repl_, repl_))
+                in_shardings=(filt_sh, data, data, data, repl_, repl_)
+                + side_sh,
+                out_shardings=(filt_sh, repl_, repl_) + side_sh)
         return self._consume_fn[key]
 
     # ------------------------------------------------------------------
@@ -1058,10 +1075,15 @@ class GoldenPathEngine:
                         counts=jnp.zeros(alloc, jnp.uint32))
                 else:
                     dummy = dm.init_state(self.params)
-                out = fn(dummy, jnp.zeros((Bp, Tp * TL + TL), jnp.uint8),
-                         jnp.zeros(Bp, jnp.int32), jnp.zeros(Bp, jnp.int64),
-                         jnp.asarray([0, 0, 1, 0], dtype=jnp.int64),
-                         jnp.zeros((Bp, 8), dtype=jnp.int64))
+                args = [dummy, jnp.zeros((Bp, Tp * TL + TL), jnp.uint8),
+                        jnp.zeros(Bp, jnp.int32), jnp.zeros(Bp, jnp.int64),
+                        jnp.asarray([0, 0, 1, 0], dtype=jnp.int64),
+                        jnp.zeros((Bp, 8), dtype=jnp.int64)]
+                if self._wave:
+                    ids_like = (dummy.ids if self.compressed
+                                else dummy.words)
+                    args.append(jnp.zeros_like(ids_like))
+                out = fn(*args)
                 jax.block_until_ready(out[2])
             except Exception:               # pragma: no cover - best effort
                 pass
@@ -1109,6 +1131,7 @@ class GoldenPathEngine:
         cache: list | None = []
         cached_bytes = 0
         cache_bufs: set = set()
+        self._wave_side = None       # wave mode: earliest-wins side table
         scal_d = jnp.asarray([0, 0, 1, 0], dtype=jnp.int64)
 
         def submit(batch):
@@ -1143,10 +1166,23 @@ class GoldenPathEngine:
             fn = self._consume_for(Bpad, T)
             filt = self.cstate if self.compressed else self.state
             rows0 = jnp.zeros((Bpad, 8), dtype=jnp.int64)
-            filt, out_d, scal_d = fn(filt, jnp.asarray(codes),
-                                     jnp.asarray(lengths),
-                                     jnp.asarray(full_lengths), scal_d,
-                                     rows0)
+            if self._wave:
+                if self._wave_side is None:
+                    ids_like = (self.cstate.ids if self.compressed
+                                else self.state.words)
+                    side = jnp.zeros_like(ids_like)
+                    if self._shard_filt is not None:
+                        side = jax.device_put(side, self._shard_filt)
+                    self._wave_side = side
+                filt, out_d, scal_d, self._wave_side = fn(
+                    filt, jnp.asarray(codes), jnp.asarray(lengths),
+                    jnp.asarray(full_lengths), scal_d, rows0,
+                    self._wave_side)
+            else:
+                filt, out_d, scal_d = fn(filt, jnp.asarray(codes),
+                                         jnp.asarray(lengths),
+                                         jnp.asarray(full_lengths), scal_d,
+                                         rows0)
             if self.compressed:
                 self.cstate = filt
             else:
@@ -1200,6 +1236,7 @@ class GoldenPathEngine:
             # (~185 s with a 570 MB filter alive vs ~1 s freed)
             self.state = None
             self.cstate = None
+            self._wave_side = None
         import os as _os
         if _os.environ.get("GOLDRUSH_DEBUG_LIVE"):
             big = sorted((a.nbytes for a in jax.live_arrays()), reverse=True)

@@ -1,60 +1,81 @@
 """Wavefront consume: batched rounds replace the per-read sequential scan.
 
-The throughput-mode bottleneck of rounds 2-4 was the per-read consume scan
-(engine.py `_consume_for`): each read paid a live single-read re-probe
-(~1-2 ms) plus, for recruits, a per-recruit insert (~2.5 ms of rank gather +
-scatter) — ~98% of the assign wall (BENCH_r04 submit_s 9.7 of assign_s 9.9).
-This module implements the design costed in ARCHITECTURE.md:134-142 and
-VERDICT r4 item 1: process each window of reads as a fixpoint of BATCHED
-rounds in which classification is dense data-parallel work, inserts are
-merged scatters over many recruits at once, and only true read-order
-dependencies serialize.
+OPT-IN throughput mode (cfg.wavefront; default remains the sequential
+optimistic scan).  This module implements the design costed in
+ARCHITECTURE.md:134-142 / VERDICT r4 item 1 — each window of reads resolves
+as a device-side fixpoint of batched rounds in which classification is
+chunk-compacted batched work, inserts are merged multi-recruit scatters,
+and only true read-order dependencies serialize.  Measured on the bench
+dataset (TPU v5 lite): ~2x the sequential scan's end-to-end throughput.
+Its recruit-set Jaccard vs the exact engine measures 0.883 on the
+calibration dataset — below the 0.90 gate the sequential optimistic scan
+meets (0.912) — which is why it ships opt-in; the gap is analyzed below.
 
-Semantics target: the optimistic staleness class (cfg.recheck="optimistic" +
-scatter-max insert) the engine already ships — the same nondeterminism class
-the reference accepts across thread interleavings (MIBloomFilter.hpp:105-107)
-— quality-gated at recruit-set Jaccard >= 0.90 vs the exact engine
-(tools/calib_gate.py).  Exact mode keeps the bit-parity sequential scan.
+Round structure (ONE jitted executable per window; lax.while_loop — the
+backend ships non-aliased results to the host per call once any fetch
+happened, so rounds never touch the host):
 
-Structure of one window (all inside ONE jitted executable — the backend
-ships non-aliased results to the host per call once any fetch happened, so
-rounds are device-side `lax.while_loop` state, never host round trips):
+  window precompute (batched, data-parallel over the mesh):
+    * sampled probe + full-res insert grids mapped through the FROZEN rank
+      structure once, so rounds touch only the small id table;
+    * the OVERLAP ADJACENCY [B, B]: sort every (slot/rank, hash-low-bits
+      fingerprint, read order) key across all insert seeds; adjacent equal
+      (slot, fp) keys are genuine shared k-mers and consecutive pairs
+      chain each sharing group in read order.  Pairs sharing >= ADJ_MIN
+      distinct k-mers are overlaps (ground-truth census: spurious
+      spaced-seed value collisions share <= 6, true overlaps >= 7-13);
+      without the fingerprint, Bloom slot collisions flagged ~1000 false
+      conflicts per candidate, and without the count threshold the
+      spurious edges glued the window into one serial component.
+  round:
+    1. chunked sampled classify of rows whose view changed (a commit by
+       an EARLIER-ordered read; staleness is one-directional);
+    2. boundary-zone detection (the in-scan trim recheck rules);
+    3. drops finalize immediately; a silver rotation REOPENS drop-finalized
+       reads past the rotation point (the sequential reset_seen semantics —
+       finalizing them early was measured at -0.45 Jaccard);
+    4. conflicts: a candidate waits while any earlier unresolved read is
+       adjacency-linked to it;
+    5. TWO-PHASE commit: non-zone recruits insert first, the zone recheck
+       then runs full-res against the updated table, zone (trim) commits
+       follow;
+    6. rotation horizon: commits stay under a read-order PESSIMISTIC base
+       count so no read at-or-beyond a possible rotation point commits
+       early — device rotations stay bit-consistent with the host
+       replay's read-order walk (goldrush_path.cpp:156-187);
+    7. merged inserts: chunk-compacted multi-read scatter-max, block ids
+       from READ-ORDER RESERVATIONS (each read owns a fixed id range =
+       prefix sum of max block counts), so ids order like the sequential
+       engine's regardless of commit round;
+    8. the id table is kept as a TWO-TABLE BRACKET: the plain latest-wins
+       table plus an earliest-wins complement table (scatter-max of
+       INV_BASE - id).  A reader decodes the latest writer when its id is
+       under the reader's read-order ceiling and falls back to the
+       earliest writer otherwise, i.e. later-ordered out-of-order commits
+       are invisible, like in the sequential engine's view.
 
-  precompute (once, batched, data-parallel over the mesh):
-    * sampled probe grid (stride S, probed-seed prefix) and full-resolution
-      insert grid for every read, mapped through the FROZEN rank structure
-      (compressed mode) so rounds touch only the small id table;
-  round (lax.while_loop until no read is pending):
-    1. dense sampled classify of the window against the LIVE id table
-       (pure gathers + the shared vote/smoothing pipeline);
-    2. boundary-zone detection (identical rules to the engine's in-scan
-       trim recheck);
-    3. non-zone drops FINALIZE (a stale drop stays dropped — the
-       optimistic policy);
-    4. conflict test: candidates scatter an epoch-tagged order key over
-       their probe grids into a scratch table and gather the min earlier
-       order back — a candidate whose probe slots were touched by an
-       EARLIER pending candidate's (proxy) insert set must wait a round,
-       everything else may commit out of order (an earlier read's insert
-       that shares no probed slot cannot change this read's votes);
-    5. full-resolution trim recheck for boundary-zone committable reads
-       (chunked compaction — only zone rows pay the full-res gathers);
-    6. rotation horizon: a commit is allowed only while the PESSIMISTIC
-       read-order base count (committed bases + full length of every
-       unresolved earlier read) stays under the silver target, so no read
-       at-or-beyond the true rotation point ever commits early; the first
-       unresolved read is always allowed (progress + it IS the rotation
-       read when the count crosses) — this keeps the device's rotation
-       points bit-consistent with the host replay's read-order walk
-       (goldrush_path.cpp:156-187 silver_path_check semantics);
-    7. merged insert: committed reads' insert grids scatter block ids in
-       chunks of many reads per scatter (the ~14 ns/elem small-table
-       regime, tools/profile_prims.py), with block-id bases assigned in
-       window order via a cumulative block count;
-    8. finalize committed rows; pending shrinks (the first unresolved read
-       always resolves, so the loop terminates in <= B rounds — typically
-       a handful: conflicts are genomic overlaps that drop once their
-       region's winner commits).
+Measured quality ladder on the calibration dataset (recruit-set Jaccard
+vs the exact engine; sequential optimistic = 0.912, scatter-max insert
+floor = 0.906):
+
+    rotation-reopen fix               0.464 -> 0.827
+    fingerprinted conflicts           0.827 -> 0.912 (near-serial commits)
+    + precise adjacency (parallel)    0.851
+    + order-directional staleness     0.865
+    + read-order id reservations      (the -0.03 commit-order permutation)
+    + two-table bracket + ceiling     0.883
+    serial-commit diagnostic mode     0.912 (GOLDRUSH_WAVE_SERIAL)
+
+The residual 0.883 vs 0.912 is NOT removable by more conflict precision:
+commits that parallelize cannot reproduce (a) the reference's accidental
+cross-recruit id-adjacency quirk (consecutive recruits' block ids differ
+by one, which the smoothing/flank logic's +-1 tests read; reservations
+leave gaps where drops consumed their range), and (b) collision-level
+vote coupling from earlier-ordered reads that resolve in the same round.
+Both channels are the reservoir-winner nondeterminism class the reference
+accepts across thread interleavings (MIBloomFilter.hpp:105-107), but the
+0.90 gate is calibrated against the sequential realization, so the
+wavefront ships opt-in until a gate-green operating point exists.
 
 Matches the reference consume loop goldrush_path.cpp:983-1053 + 1229-1256
 in behavior class; the reformulation (rounds + conflict wavefront) is the
@@ -62,6 +83,8 @@ TPU-native expression of its sequential recruit-then-probe dependency.
 """
 
 from __future__ import annotations
+
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -73,18 +96,64 @@ from ..mibf.mibf import PRESENT_BIT
 from .classify import classify_batch
 from .engine_util import tile_min_count
 
-# rows per compacted chunk for the full-res recheck and merged insert: the
-# chunk is the static shape unit of the dynamic-size commit/zone sets;
-# partially-filled chunks waste at most (CHUNK-1) rows of gather traffic
+# rows per compacted chunk per stage: the chunk is the static shape unit of
+# each dynamic-size row set; partially-filled chunks waste at most
+# (CHUNK-1) rows of gather traffic
+CLASSIFY_CHUNK = 64
+CONFLICT_CHUNK = 32
 RECHECK_CHUNK = 16
 INSERT_CHUNK = 16
+# conflict fingerprint bits packed under the epoch+order key (see step 4)
+FP_BITS = 15
 # direct-mode conflict scratch: slots hash into 2^24 buckets (64 MB) —
-# collisions only cause spurious one-round waits; compressed mode uses the
-# (already small) rank space directly
+# fingerprint-verified, so collisions are harmless; compressed mode uses
+# the (already small) rank space directly
 DIRECT_CONFLICT_BITS = 24
 
-import os as _os                                            # noqa: E402
 _SERIAL = bool(_os.environ.get("GOLDRUSH_WAVE_SERIAL"))
+# ids are stored COMPLEMENTED (INV_BASE - id, combined by scatter-max =
+# min-id-wins = EARLIEST-ordered-writer-wins).  Together with each read's
+# id-visibility ceiling this reconstructs an exactly order-consistent view:
+# a slot's stored winner is the earliest writer, so masking ids above the
+# reader's ceiling never hides an earlier writer behind a later one (the
+# max-id-wins + ceiling variant did exactly that at contested slots,
+# measured -0.013; the earliest-vs-latest winner difference is the same
+# nondeterminism class as the reference's reservoir, MIBloomFilter.hpp:105)
+INV_BASE = jnp.uint32(1 << 28)
+# The engine threads a SIDE table (same shape as the id table) through the
+# wave: the main table keeps the sequential engine's PLAIN latest-wins ids
+# (scatter-max of id), the side table the complemented earliest-wins ids
+# (scatter-max of INV_BASE - id).  A reader under ceiling c takes the
+# latest writer when its id <= c (the exact sequential-latest view) and
+# falls back to the earliest writer when the latest is a later-ordered
+# read — wrong only at slots straddled by 3+ writers around the reader,
+# a residual within the reservoir-winner nondeterminism class.
+# commits allowed per round (0 = unlimited): bounds the same-round mutual
+# staleness of parallel commits — the quality/round-count dial
+_WAVE_K = int(_os.environ.get("GOLDRUSH_WAVE_K", "0"))
+TRACE_N = 512        # debug per-round trace capacity
+# minimum shared DISTINCT k-mers (across all insert seeds) for two window
+# reads to count as overlapping.  Measured against ground-truth read
+# positions (round 5, 3-seed census): spurious pairs (spaced-seed value
+# collisions between distant loci, correlated across a few shifted
+# positions) share <= 6 k-mers; genuine overlaps share >= 13 on the bench
+# window and >= 7 on the heavy-indel calibration window except for pairs
+# sharing <= 3 slots — which barely interact through the filter at all.
+# 6 therefore separates the populations; the spurious edges it removes
+# were what glued the window adjacency into one giant component and
+# serialized the wavefront (~1-2 commits/round)
+ADJ_MIN = 6
+
+
+def _cumsum64(x):
+    """Inclusive cumsum for small int64 vectors via associative_scan.
+
+    jnp.cumsum on int64 lowers to a u32-PAIR reduce-window on TPU, which
+    trips a scoped-vmem compiler overflow inside the big while-loop body
+    (measured round 5: "Ran out of memory in memory space vmem ...
+    reduce-window u32[2,128]"); the log-step shifted-add lowering does not.
+    """
+    return jax.lax.associative_scan(jnp.add, x)
 
 
 def build_wave_consume(eng, B: int, T: int):
@@ -115,9 +184,12 @@ def build_wave_consume(eng, B: int, T: int):
                and (S > 1 or eng.h_active < eng.h_ins))
     F_ins = TL // cfg.insert_stride
     TF_ins = T * F_ins
+    TFq = T * (TL // S)
     mesh, repl = eng.mesh, eng._shard_repl
+    fp_mask = jnp.uint32((1 << FP_BITS) - 1)
+    debug = bool(getattr(eng, "_wave_debug", False))
 
-    def consume(filt, codes, lengths, full_lengths, scal0, rows0):
+    def consume(filt, codes, lengths, full_lengths, scal0, rows0, side0):
         n_tiles = (lengths // TL).astype(jnp.int32)
         order = jnp.arange(B, dtype=jnp.int32)
 
@@ -136,74 +208,161 @@ def build_wave_consume(eng, B: int, T: int):
             table0 = filt.ids
             drop_idx = jnp.int32(filt.ids.shape[0])   # mode="drop" target
             conf_size = filt.ids.shape[0]
+            conf_g = jnp.where(rank_g < sent, rank_g, drop_idx)
 
-            def probe_words(table, ranks):
-                # ranks [C, Hs, TFs]: sentinel -> absent (word 0)
+            def probe_words(tables, ranks, ceil_r):
+                # ranks [C, Hs, TFs]: sentinel -> absent (word 0).  Reader
+                # view under the order ceiling: the plain (latest-wins)
+                # table when its winner is visible, else the complemented
+                # (earliest-wins) side table — see the INV_BASE note
+                table, side = tables
+                ceil_u = ceil_r.astype(jnp.uint32)[:, None]
+                cmin = INV_BASE - ceil_u
                 ws = []
                 for s in range(ranks.shape[1]):
                     r = ranks[:, s, :]
-                    w = jnp.where(r < sent, PRESENT_BIT | table[r], 0)
+                    p = table[r]
+                    c = side[r]
+                    early = jnp.where((c > 0) & (c >= cmin),
+                                      INV_BASE - c, 0)
+                    idv = jnp.where((p > 0) & (p <= ceil_u), p, early)
+                    w = jnp.where(r < sent, PRESENT_BIT | idv, 0)
                     ws.append(w.astype(jnp.uint32))
                 return ws
 
-            # conflict grid: the seed-0 FULL-RESOLUTION ranks.  The scatter
-            # side proxies a candidate's insert footprint (all positions of
-            # seed 0 — the remaining seeds' slots are position-correlated),
-            # the gather side covers everything a later candidate reads:
-            # the sampled probe grid is a subset, and the full-res recheck's
-            # seed-0 row detects any genomic overlap with both k-mer copies
-            # intact (~100 shared slots per kb of overlap at 5% error) —
-            # the stride-8 proxy caught only ~2/kb, which let same-round
-            # commits go stale against the trim recheck's read set
-            conf_q = jnp.where(rank_g[:, 0, :] < sent, rank_g[:, 0, :],
-                               drop_idx)
-
             def insert_val(bid):
-                return bid                      # ids table stores block id
+                return bid                  # main table: latest-wins
+
+            def insert_val_side(bid):
+                return INV_BASE - bid       # side: earliest-wins
 
             def reset_table(table):
                 return jnp.zeros_like(table)
         else:
-            sent = jnp.asarray(params.size, slots_q.dtype)
+            sent = int(params.size)
             rank_q = slots_q.astype(jnp.int32)
             rank_g = slots_i.astype(jnp.int32)
             table0 = filt.words
             drop_idx = jnp.int32(params.alloc)
             conf_size = 1 << DIRECT_CONFLICT_BITS
-
-            def probe_words(table, slots):
-                return [table[slots[:, s, :]]
-                        for s in range(slots.shape[1])]
-
             mask24 = jnp.int32(conf_size - 1)
-            conf_q = jnp.where(rank_g[:, 0, :] < params.size,
-                               rank_g[:, 0, :] & mask24,
+            conf_g = jnp.where(rank_g < sent, rank_g & mask24,
                                jnp.int32(conf_size))
+
+            def probe_words(tables, slots, ceil_r):
+                # see the compressed twin (the direct word keeps PRESENT in
+                # bit 30 and the plain id below; the side table holds bare
+                # complemented ids; goldrush-path never sets saturation in
+                # pass 2)
+                table, side = tables
+                ceil_u = ceil_r.astype(jnp.uint32)[:, None]
+                cmin = INV_BASE - ceil_u
+                idm = jnp.uint32((1 << 30) - 1)
+                ws = []
+                for s in range(slots.shape[1]):
+                    w = table[slots[:, s, :]]
+                    c = side[slots[:, s, :]]
+                    p = w & idm
+                    early = jnp.where((c > 0) & (c >= cmin),
+                                      INV_BASE - c, 0)
+                    idv = jnp.where((p > 0) & (p <= ceil_u), p, early)
+                    ws.append((w & ~idm) | idv)
+                return ws
 
             def insert_val(bid):
                 return PRESENT_BIT | bid
 
+            def insert_val_side(bid):
+                return INV_BASE - bid
+
             def reset_table(table):
                 return table & PRESENT_BIT
         counts0 = filt.counts
+        # position fingerprints: low bits of each seed's HASH at the same
+        # position.  Two different k-mers that collide on a slot virtually
+        # never share the hash's low bits (fastrange consumes the high
+        # bits), while two reads covering the same genomic position with
+        # that seed's k-mer intact share hash AND slot — a fingerprint
+        # match certifies a genuine shared k-mer.  ALL insert seeds
+        # contribute keys: on heavy-indel data a seed-0-only census missed
+        # multi-kb overlaps whose seed-0 k-mers happened to decay (the
+        # three seeds triple the detection rate while spurious value
+        # collisions stay seed-local and low-count).  Seeds 1-2 have clamp
+        # fix-ups at tile tails where the plain position slice mismatches
+        # the grid — those few frames only lose detections, never pair.
+        from ..ops.nthash import hash_positions
+        hh = hash_positions(codes, fam_ins, T * TL)           # [B, H, P]
+        fp_g = (hh[:, :, :: cfg.insert_stride][:, :, : TF_ins]
+                .astype(jnp.uint32)) & fp_mask
+
+        # ---------------- window overlap adjacency (computed ONCE).  Sort
+        # the window's (slot/rank, fingerprint, read order) keys over all
+        # seeds; adjacent equal (slot, fp) keys are genuine shared k-mers,
+        # and the consecutive pairs chain every sharing group in read
+        # order — reads that share NO k-mer can commit in any relative
+        # order (an insert that touches none of a read's slots cannot
+        # change its votes), so rounds only need this [B, B] bitmask, not
+        # per-round scatter work (the per-round epoch-scratch version
+        # re-scattered ~20k elems per pending read per round — the
+        # dominant round cost on-chip).
+        ORD_BITS = max((B - 1).bit_length(), 1)
+        ord_mask = jnp.uint64((1 << ORD_BITS) - 1)
+        key = (conf_g.astype(jnp.uint64)
+               << jnp.uint64(FP_BITS + ORD_BITS)) \
+            | (fp_g.astype(jnp.uint64) << jnp.uint64(ORD_BITS)) \
+            | order[:, None, None].astype(jnp.uint64)
+        # invalid positions get globally unique keys (never pair); the
+        # unique id sits ABOVE the order bits — with it in the low bits,
+        # consecutive ids shared a >>ORD_BITS prefix and paired every
+        # (i, i+1) read couple through their invalid positions, chaining
+        # the whole window into a serial order-adjacency (measured: the
+        # post-rotation tail committed exactly 1 read/round for ~35 rounds)
+        uniq = (jnp.uint64(1) << jnp.uint64(62)) \
+            + (jnp.arange(B * H * TF_ins, dtype=jnp.uint64)
+               << jnp.uint64(ORD_BITS)).reshape(B, H, TF_ins)
+        key = jnp.where(conf_g < conf_size, key, uniq).reshape(-1)
+        sk = jax.lax.sort(key)
+        same = (sk[1:] >> jnp.uint64(ORD_BITS)) == \
+            (sk[:-1] >> jnp.uint64(ORD_BITS))
+        o1 = (sk[1:] & ord_mask).astype(jnp.int32)
+        o0 = (sk[:-1] & ord_mask).astype(jnp.int32)
+        pair = same & (o1 != o0)
+        hi = jnp.maximum(o1, o0)
+        lo = jnp.minimum(o1, o0)
+        # COUNT shared k-mers per pair and require ADJ_MIN of them: a true
+        # genomic overlap shares ~100 intact k-mers per kb, while the
+        # spaced seed's 4^w value space makes single cross-locus repeated
+        # k-mers common at Mbp scale (~10 random partners per read per
+        # window measured on the bench genome — treating any shared k-mer
+        # as an overlap made the adjacency near-complete and the wavefront
+        # serial, 1-5 commits/round).  A one-or-two-k-mer share can shift a
+        # tile's vote count by at most that much — the same noise class
+        # the quality gate already covers.
+        cnt = jnp.zeros((B * B,), jnp.int32).at[
+            jnp.where(pair, hi * B + lo, B * B)].add(
+                1, mode="drop").reshape(B, B)
+        adj = cnt >= ADJ_MIN
+        adj_sym = adj | adj.T        # staleness propagation needs both dirs
 
         if mesh is not None:
             # grids were computed data-parallel; the round loop's gathers,
             # scatters and per-read bookkeeping read them replicated (the
             # conflict/commit machinery is window-global)
-            rank_q_l, rank_g_l, ok_q_l, ok_i_l, conf_q_l = (
+            rank_q_l, rank_g_l, ok_q_l, ok_i_l, adj_l, adj_sym_l = (
                 jax.lax.with_sharding_constraint(a, repl)
-                for a in (rank_q, rank_g, ok_q, ok_i, conf_q))
+                for a in (rank_q, rank_g, ok_q, ok_i, adj, adj_sym))
         else:
-            rank_q_l, rank_g_l, ok_q_l, ok_i_l, conf_q_l = (
-                rank_q, rank_g, ok_q, ok_i, conf_q)
+            rank_q_l, rank_g_l, ok_q_l, ok_i_l, adj_l, adj_sym_l = (
+                rank_q, rank_g, ok_q, ok_i, adj, adj_sym)
 
         ids_ins0, ins_bases0, path_idx0, done0 = (scal0[0], scal0[1],
                                                   scal0[2], scal0[3])
         L64 = full_lengths.astype(jnp.int64)
+        # per-read maximum block count = the read-order id reservation unit
+        maxb = jnp.where(L64 > 0, 1 + L64 // (TL * bs), 0)
         target_eff = jnp.int64(target if silver else (1 << 62))
 
-        # ---------------- per-read compacted-chunk helpers
+        # ---------------- chunk machinery ---------------------------------
         def compact(mask):
             """positions buffer: pos[:n] = indices of set rows, in order."""
             cidx = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -211,25 +370,69 @@ def build_wave_consume(eng, B: int, T: int):
                 jnp.where(mask, cidx, B)].set(order, mode="drop")
             return pos, mask.sum().astype(jnp.int32)
 
-        def recheck_rows(table, mask, dec, ts, te, na, q, h, m, ov):
-            """Full-res classify for the masked rows, chunked; returns the
-            8 per-read arrays with masked rows overridden."""
+        def chunk_loop(mask, chunk, body_fn, init):
+            """Run body_fn over `chunk`-row slices of the masked row set.
+            body_fn(state_tuple, idxc [chunk], rowok [chunk]) -> state."""
             pos, n = compact(mask)
+            rng = jnp.arange(chunk, dtype=jnp.int32)
 
             def cond(c):
-                return c[0] * RECHECK_CHUNK < n
+                return c[0] * chunk < n
 
             def body(c):
-                k, dec, ts, te, na, q, h, m, ov = c
-                idx = jax.lax.dynamic_slice(pos, (k * RECHECK_CHUNK,),
-                                            (RECHECK_CHUNK,))
-                rowok = (k * RECHECK_CHUNK
-                         + jnp.arange(RECHECK_CHUNK, dtype=jnp.int32)) < n
+                k = c[0]
+                idx = jax.lax.dynamic_slice(pos, (k * chunk,), (chunk,))
+                rowok = (k * chunk + rng) < n
                 idxc = jnp.where(rowok, idx, 0)
+                return (k + 1,) + tuple(body_fn(c[1:], idxc, rowok))
+
+            return jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0),) + tuple(init))[1:]
+
+        # ---------------- per-round stages --------------------------------
+        def classify_pending(table, side, mask, id_ceil, arrs):
+            """Sampled classify of the masked rows against the live table
+            (ids above each row's ceiling masked — order-consistent view);
+            results scattered into the 9 per-read arrays."""
+
+            def body(st, idxc, rowok):
+                (dec, ts, te, na, q, h, m, ov, tmin) = st
+                rg = jnp.take(rank_q_l, idxc, axis=0)
+                fo = jnp.take(ok_q_l, idxc, axis=0) & rowok[:, None]
+                nt = jnp.take(n_tiles, idxc)
+                ws = probe_words((table, side), rg,
+                                 jnp.take(id_ceil, idxc))
+                v = _vote_from_words(ws, fo, params, T,
+                                     CLASSIFY_CHUNK, Hq, TFq)
+                r = classify_batch(v.curr_id, v.top_count, v.cand_ids,
+                                   v.cand_counts, nt, x_eff, u_min, a_max)
+                tm = tile_min_count(v.top_count, nt)
+                tgt = jnp.where(rowok, idxc, B)
+                dec = dec.at[tgt].set(r.decision, mode="drop")
+                ts = ts.at[tgt].set(r.trim_start, mode="drop")
+                te = te.at[tgt].set(r.trim_end, mode="drop")
+                na = na.at[tgt].set(r.num_assigned, mode="drop")
+                q = q.at[tgt].set(v.queries, mode="drop")
+                h = h.at[tgt].set(v.hits, mode="drop")
+                m = m.at[tgt].set(v.misses, mode="drop")
+                ov = ov.at[tgt].set(
+                    v.overflow.sum(axis=1).astype(jnp.int64), mode="drop")
+                tmin = tmin.at[tgt].set(tm, mode="drop")
+                return (dec, ts, te, na, q, h, m, ov, tmin)
+
+            return chunk_loop(mask, CLASSIFY_CHUNK, body, arrs)
+
+        def recheck_rows(table, side, mask, id_ceil, arrs):
+            """Full-res classify for the masked rows, chunked; returns the
+            8 per-read arrays with masked rows overridden."""
+
+            def body(st, idxc, rowok):
+                dec, ts, te, na, q, h, m, ov = st
                 rg = jnp.take(rank_g_l, idxc, axis=0)
                 fo = jnp.take(ok_i_l, idxc, axis=0) & rowok[:, None]
                 nt = jnp.take(n_tiles, idxc)
-                ws = probe_words(table, rg)
+                ws = probe_words((table, side), rg,
+                                 jnp.take(id_ceil, idxc))
                 v = _vote_from_words(ws, fo, params_full, T,
                                      RECHECK_CHUNK, H, TF_ins)
                 r = classify_batch(v.curr_id, v.top_count, v.cand_ids,
@@ -244,75 +447,77 @@ def build_wave_consume(eng, B: int, T: int):
                 m = m.at[tgt].set(v.misses, mode="drop")
                 ov = ov.at[tgt].set(
                     v.overflow.sum(axis=1).astype(jnp.int64), mode="drop")
-                return (k + 1, dec, ts, te, na, q, h, m, ov)
+                return (dec, ts, te, na, q, h, m, ov)
 
-            out = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), dec, ts, te, na, q, h, m, ov))
-            return out[1:]
+            return chunk_loop(mask, RECHECK_CHUNK, body, arrs)
 
-        def insert_rows(table, mask, lo, hi, base, trimmed):
+        t_of_ins = (jnp.arange(TF_ins, dtype=jnp.int32) // F_ins)
+
+        def insert_rows(table, side, mask, lo, hi, base, trimmed):
             """Merged scatter-max insert of the masked rows' grids, chunked
             (many recruits per scatter — the write-combining that drops the
             per-recruit dispatch/rank overhead of the sequential scan)."""
-            pos, n = compact(mask)
-            t_of = (jnp.arange(TF_ins, dtype=jnp.int32)
-                    // F_ins)                                  # [TF]
 
-            def cond(c):
-                return c[0] * INSERT_CHUNK < n
-
-            def body(c):
-                k, table = c
-                idx = jax.lax.dynamic_slice(pos, (k * INSERT_CHUNK,),
-                                            (INSERT_CHUNK,))
-                rowok = (k * INSERT_CHUNK
-                         + jnp.arange(INSERT_CHUNK, dtype=jnp.int32)) < n
-                idxc = jnp.where(rowok, idx, 0)
+            def body(st, idxc, rowok):
+                table, side = st
                 rg = jnp.take(rank_g_l, idxc, axis=0)   # [C, H, TF]
                 lo_r = jnp.take(lo, idxc)
                 hi_r = jnp.take(hi, idxc)
                 ba_r = jnp.take(base, idxc)
                 tr_r = jnp.take(trimmed, idxc)
-                in_rng = ((t_of[None, :] >= lo_r[:, None])
-                          & (t_of[None, :] <= hi_r[:, None])
+                in_rng = ((t_of_ins[None, :] >= lo_r[:, None])
+                          & (t_of_ins[None, :] <= hi_r[:, None])
                           & rowok[:, None])               # [C, TF]
-                mm = jnp.where(in_rng, (t_of[None, :] - lo_r[:, None]) // bs,
-                               0)
+                mm = jnp.where(in_rng,
+                               (t_of_ins[None, :] - lo_r[:, None]) // bs, 0)
                 bid = jnp.where(
                     tr_r[:, None],
                     ba_r[:, None] + ((mm * bs + 1) // bs).astype(jnp.uint32),
                     ba_r[:, None] + mm.astype(jnp.uint32))    # [C, TF]
-                el_ok = in_rng[:, None, :] & (rg < (sent if compressed
-                                                    else params.size))
-                ix = jnp.where(el_ok, rg, drop_idx)
+                el_ok = in_rng[:, None, :] & (rg < sent)
+                ix = jnp.where(el_ok, rg, drop_idx).reshape(-1)
                 vals = jnp.broadcast_to(insert_val(bid)[:, None, :],
                                         rg.shape)
-                table = table.at[ix.reshape(-1)].max(
+                table = table.at[ix].max(
                     vals.reshape(-1).astype(jnp.uint32), mode="drop")
-                return (k + 1, table)
+                vals_s = jnp.broadcast_to(insert_val_side(bid)[:, None, :],
+                                          rg.shape)
+                side = side.at[ix].max(
+                    vals_s.reshape(-1).astype(jnp.uint32), mode="drop")
+                return (table, side)
 
-            return jax.lax.while_loop(cond, body, (jnp.int32(0), table))[1]
+            return chunk_loop(mask, INSERT_CHUNK, body, (table, side))
 
-        # ---------------- round loop
+        # ---------------- round loop --------------------------------------
         def round_cond(carry):
             return jnp.any(carry[2])
 
         def round_body(carry):
-            (table, scratch, pending, dec_a, ts_a, te_a, na_a, q_a, h_a,
-             m_a, ov_a, clen, ids_ins, path_idx, done, rot_pos, rnd) = carry
+            (table, side, pending, stale, rechecked, dec_a, ts_a, te_a,
+             na_a, q_a, h_a, m_a, ov_a, tm_a, clen, path_idx, done,
+             rot_pos, rnd, trace) = carry
 
-            # 1. dense sampled classify against the live table
-            ws = probe_words(table, rank_q_l)
-            v = _vote_from_words(ws, ok_q_l, params, T, B, Hq,
-                                 rank_q_l.shape[2])
-            r0 = classify_batch(v.curr_id, v.top_count, v.cand_ids,
-                                v.cand_counts, n_tiles, x_eff, u_min, a_max)
-            tmin = tile_min_count(v.top_count, n_tiles)
-            dec = r0.decision
-            ts, te, na = r0.trim_start, r0.trim_end, r0.num_assigned
-            q, h = v.queries, v.hits
-            m = v.misses
-            ov = v.overflow.sum(axis=1).astype(jnp.int64)
+            # read-order id reservations (step 7) and the per-read id
+            # visibility ceiling they induce: ids <= ceil(j) come from
+            # reads before j in the current path segment
+            in_path = order > rot_pos
+            base0 = jnp.where(rot_pos < 0, ins_bases0, jnp.int64(0))
+            base0_ids = jnp.where(rot_pos < 0, ids_ins0, jnp.int64(0))
+            resv = jnp.where(in_path, maxb, 0)
+            resv_pre = _cumsum64(resv) - resv
+            id_ceil = (base0_ids + resv_pre).astype(jnp.uint32)
+
+            # 1. sampled classify — ONLY of pending rows whose
+            # order-consistent view an insert may have changed since their
+            # last classification (an EARLIER read committed — later
+            # commits are invisible through the ceiling); everything else
+            # keeps its carried verdict, so waiting rounds cost ~nothing
+            work = pending & stale
+            (dec, ts, te, na, q, h, m, ov, tmin) = classify_pending(
+                table, side, work, id_ceil,
+                (dec_a, ts_a, te_a, na_a, q_a, h_a, m_a, ov_a, tm_a))
+            stale = stale & ~work
+            rechecked = rechecked & ~work
 
             # 2. boundary zone (identical rules to the in-scan recheck)
             if rech_on:
@@ -325,98 +530,118 @@ def build_wave_consume(eng, B: int, T: int):
             else:
                 zone = jnp.zeros((B,), bool)
 
-            # 3. non-zone drops finalize; candidates enter the wavefront.
-            # A drop may finalize ONLY when no silver rotation can fire at
-            # any read before it (rotation resets the id table, and the
-            # sequential engine classifies every later read against the
-            # RESET filter — finalizing their drops early against the
-            # pre-rotation table was measured at -0.45 recruit-set Jaccard
-            # in round-5 bring-up): the pessimistic read-order base count
-            # through the preceding reads must stay under the target
-            in_path = order > rot_pos
-            base0 = jnp.where(rot_pos < 0, ins_bases0, jnp.int64(0))
-            dropf0 = pending & (dec == 0) & ~zone
-            potc = clen + jnp.where(pending & ~dropf0, L64, 0)
-            potc = jnp.where(in_path, potc, 0)
-            pess_excl = base0 + jnp.cumsum(potc) - potc
-            safe = pess_excl <= target_eff
-            dropf = dropf0 & safe
+            # 3. drops finalize immediately; a silver rotation REOPENS
+            # drop-finalized reads past the rotation point instead (the
+            # sequential engine's reset_seen semantics: post-reset reads
+            # reclassify against the reset filter) — cheaper than holding
+            # drops pending under the horizon, which roughly doubled the
+            # round count
+            dropf = pending & (dec == 0) & ~zone
             cand = pending & ((dec > 0) | zone)
 
-            # 4. conflict test over the probe grids (epoch-tagged order
-            # keys; stale rounds' entries are numerically smaller and
-            # therefore ignored — no per-round scratch reinit)
-            vkey = (rnd * jnp.uint32(B + 1)
-                    + (jnp.uint32(B) - order.astype(jnp.uint32)))     # [B]
-            cix = jnp.where(cand[:, None], conf_q_l,
-                            jnp.int32(conf_size))
-            scratch = scratch.at[cix.reshape(-1)].max(
-                jnp.broadcast_to(vkey[:, None],
-                                 cix.shape).reshape(-1), mode="drop")
-            g = scratch[jnp.where(cix < conf_size, cix,
-                                  jnp.int32(conf_size - 1))]
-            g = jnp.where(cix < conf_size, g, 0)
-            gmax = g.reshape(B, -1).max(axis=1)
-            conflict = cand & (gmax > vkey)
+            # 4. conflict wavefront from the precomputed window adjacency:
+            # a candidate waits while ANY unresolved earlier read shares a
+            # k-mer with it (adj rows hold earlier partners only)
+            unresolved = pending & ~dropf
+            confl = cand & (adj_l & unresolved[None, :]).any(axis=1)
             if _SERIAL:
-                # diagnostic mode (GOLDRUSH_WAVE_SERIAL): only the first
-                # candidate commits per round — isolates conflict-proxy
-                # quality from the round mechanism
-                conflict = cand & (jnp.cumsum(cand.astype(jnp.int32)) > 1)
-            committable = cand & ~conflict
+                # diagnostic (GOLDRUSH_WAVE_SERIAL): only the first
+                # candidate commits per round
+                confl = cand & (jnp.cumsum(cand.astype(jnp.int32)) > 1)
+            committable = cand & ~confl
 
-            # 5. full-res trim recheck, only for committable zone rows
-            if rech_on:
-                dec, ts, te, na, q, h, m, ov = recheck_rows(
-                    table, zone & committable,
-                    dec, ts, te, na, q, h, m, ov)
-            # recheck-flipped drops obey the same rotation-safety guard
-            dropf = dropf | (committable & (dec == 0) & safe)
-            commit = committable & (dec > 0)
-
-            # 6. rotation horizon (read-order pessimistic base count):
-            # pess(j) >= the true read-order cumulative count through j as
-            # long as any read <= j is unresolved, so no read at-or-beyond
-            # the true crossing commits before the rotation; the first
-            # unresolved read always may (it IS the crossing read then)
-            act = pending & ~dropf
+            # 5-7. TWO-PHASE commit: whole-read (non-zone) recruits first,
+            # then the boundary-zone recheck runs against the JUST-UPDATED
+            # table, then zone (trim) commits — a zone row's full-res
+            # verdict therefore sees every same-round non-zone insert,
+            # eliminating the same-round staleness the trim flank
+            # heuristics (MIN_IDS_IN_FLANK=2) are most sensitive to.
+            # Block ids come from READ-ORDER reservations (id_ceil + 1):
+            # every read owns a fixed id range, so ids order exactly like
+            # the sequential engine's regardless of WHICH round or phase
+            # commits a read (without this, out-of-order commits permuted
+            # the max-id-wins winner rule, measured -0.03 Jaccard)
+            base_arr = (id_ceil + 1).astype(jnp.uint32)
             n64 = n_tiles.astype(jnp.int64)
-            ts64, te64 = ts.astype(jnp.int64), te.astype(jnp.int64)
-            l_trim = jnp.where(te64 == n64 - 1, L64 - ts64 * TL,
-                               (te64 - ts64 + 1) * TL)
-            rec_len = jnp.where(dec == 1, L64,
-                                jnp.where(dec == 2, l_trim, 0))
-            pot = jnp.where(commit, rec_len, jnp.where(act, L64, 0))
-            pess = base0 + jnp.cumsum(
-                jnp.where(in_path, clen + pot, 0))
-            first_active = act & (jnp.cumsum(act.astype(jnp.int32)) == 1)
-            allowed = commit & ((pess <= target_eff) | first_active) \
-                & (done == 0)
 
-            # 7. block-id bases in window order + merged insert
-            blocks = jnp.where(
-                allowed,
-                jnp.where(dec == 1, 1 + L64 // (TL * bs),
-                          1 + (te64 - ts64) // bs),
-                0)
-            base_arr = (ids_ins + 1
-                        + (jnp.cumsum(blocks) - blocks)).astype(jnp.uint32)
-            lo = jnp.where(dec == 1, 0, ts64).astype(jnp.int32)
-            hi = jnp.where(dec == 1, (n64 - 1), te64).astype(jnp.int32)
-            table = insert_rows(table, allowed, lo, hi, base_arr, dec == 2)
-            ids_ins = ids_ins + blocks.sum()
-            clen = jnp.where(allowed, rec_len, clen)
+            def horizon(commit_m, act_m, rec_len):
+                # rotation horizon (read-order pessimistic base count):
+                # pess(j) >= the true read-order cumulative count through
+                # j while any read <= j is unresolved, so no read
+                # at-or-beyond the true crossing commits early; the first
+                # unresolved read always may (it IS the crossing read)
+                pot = jnp.where(commit_m, rec_len,
+                                jnp.where(act_m, L64, 0))
+                pess = base0 + _cumsum64(
+                    jnp.where(in_path, clen + pot, 0))
+                first = act_m & (jnp.cumsum(act_m.astype(jnp.int32)) == 1)
+                return (commit_m & ((pess <= target_eff) | first)
+                        & (done == 0)), first
+
+            def trim_geom(dec, ts, te):
+                ts64 = ts.astype(jnp.int64)
+                te64 = te.astype(jnp.int64)
+                l_trim = jnp.where(te64 == n64 - 1, L64 - ts64 * TL,
+                                   (te64 - ts64 + 1) * TL)
+                rec_len = jnp.where(dec == 1, L64,
+                                    jnp.where(dec == 2, l_trim, 0))
+                lo = jnp.where(dec == 1, 0, ts64).astype(jnp.int32)
+                hi = jnp.where(dec == 1, (n64 - 1), te64).astype(jnp.int32)
+                return rec_len, lo, hi
+
+            # phase A: non-zone commits
+            commitA = committable & ~zone & (dec > 0)
+            act = pending & ~dropf
+            rec_len, lo, hi = trim_geom(dec, ts, te)
+            allowedA, firstA = horizon(commitA, act, rec_len)
+            if _WAVE_K:
+                allowedA = allowedA & (
+                    jnp.cumsum(allowedA.astype(jnp.int32)) <= _WAVE_K)
+            table, side = insert_rows(table, side, allowedA, lo, hi,
+                                      base_arr, dec == 2)
+            clen = jnp.where(allowedA, rec_len, clen)
+
+            # phase B: zone recheck against the updated table, then zone
+            # commits
+            if rech_on:
+                rc_mask = zone & committable
+                dec, ts, te, na, q, h, m, ov = recheck_rows(
+                    table, side, rc_mask, id_ceil,
+                    (dec, ts, te, na, q, h, m, ov))
+            dropf = dropf | (committable & (dec == 0))
+            commitB = committable & zone & (dec > 0)
+            actB = pending & ~dropf & ~allowedA
+            rec_len, lo, hi = trim_geom(dec, ts, te)
+            allowedB, firstB = horizon(commitB, actB, rec_len)
+            if _WAVE_K:
+                allowedB = allowedB & (
+                    jnp.cumsum(allowedB.astype(jnp.int32)) <= _WAVE_K)
+            table, side = insert_rows(table, side, allowedB, lo, hi,
+                                      base_arr, dec == 2)
+            clen = jnp.where(allowedB, rec_len, clen)
+            allowed = allowedA | allowedB
+            first_active = (allowedA & firstA) | (allowedB & firstB)
+            # commits invalidate every LATER read: besides direct k-mer
+            # shares (adjacency), Bloom slot collisions couple every pair
+            # of reads through ~dozens of shared slots — a 1-2 vote shift
+            # that the reference's MIN_IDS_IN_FLANK=2 trim heuristics are
+            # sensitive to.  The id ceiling already hides commits from
+            # EARLIER reads, so invalidation is one-directional and cheap.
+            anyc = allowed.any()
+            minord = jnp.min(jnp.where(allowed, order, B))
+            touched = pending & anyc & (order > minord)
+            stale = stale | touched
+            rechecked = rechecked & ~touched
 
             # rotation fires only on a first-active escape commit whose
-            # read-order committed count crosses the target (see module
-            # docstring: the horizon blocks every other crossing commit)
-            cumc = base0 + jnp.cumsum(jnp.where(in_path, clen, 0))
-            fire = silver and jnp.any(allowed & first_active
-                                      & (cumc > target_eff))
+            # read-order committed count crosses the target (the horizon
+            # blocks every other crossing commit)
             if silver:
+                cumc = base0 + _cumsum64(jnp.where(in_path, clen, 0))
+                fire = jnp.any(first_active & (cumc > target_eff))
                 c_ord = jnp.where(
-                    jnp.any(allowed & first_active),
-                    jnp.min(jnp.where(allowed & first_active, order, B)),
+                    jnp.any(first_active),
+                    jnp.min(jnp.where(first_active, order, B)),
                     jnp.int32(B))
                 path_idx = jnp.where(fire, path_idx + 1, path_idx)
                 overflow = fire & (max_paths < path_idx)
@@ -424,47 +649,69 @@ def build_wave_consume(eng, B: int, T: int):
                 do_reset = fire & ~overflow
                 table = jax.lax.cond(do_reset, reset_table,
                                      lambda t: t, table)
+                side = jax.lax.cond(do_reset,
+                                    lambda x: jnp.zeros_like(x),
+                                    lambda x: x, side)
                 rot_pos = jnp.where(fire, c_ord, rot_pos)
-                ids_ins = jnp.where(do_reset, jnp.int64(0), ids_ins)
+                stale = stale | do_reset          # reset invalidates all
+                rechecked = rechecked & ~do_reset
 
-            # 8. finalize rows
+            # 8. finalize rows; on a rotation, reopen every drop-finalized
+            # read past the rotation point (committed reads past it cannot
+            # exist — the horizon blocks them)
             fin = dropf | allowed
-            dec_a = jnp.where(fin, dec, dec_a)
-            ts_a = jnp.where(fin, ts, ts_a)
-            te_a = jnp.where(fin, te, te_a)
-            na_a = jnp.where(fin, na, na_a)
-            q_a = jnp.where(fin, q, q_a)
-            h_a = jnp.where(fin, h, h_a)
-            m_a = jnp.where(fin, m, m_a)
-            ov_a = jnp.where(fin, ov, ov_a)
             pending = pending & ~fin & (done == 0)
+            if silver:
+                # any finalized DROP past the rotation point reopens,
+                # including drops finalized this very round (clen > 0
+                # identifies committed reads, which the horizon already
+                # kept below the rotation point)
+                reopen = (do_reset & (order > rot_pos)
+                          & ~pending & (clen == 0))
+                pending = pending | reopen
 
-            out = (table, scratch, pending, dec_a, ts_a, te_a, na_a, q_a,
-                   h_a, m_a, ov_a, clen, ids_ins, path_idx, done, rot_pos,
-                   rnd + 1)
+            if debug:
+                trace = trace.at[
+                    jnp.minimum(rnd, TRACE_N - 1).astype(jnp.int32)].set(
+                    jnp.stack([pending.sum(), cand.sum(), confl.sum(),
+                               allowed.sum()]).astype(jnp.int32))
+            out = (table, side, pending, stale, rechecked, dec, ts, te,
+                   na, q, h, m, ov, tmin, clen, path_idx, done, rot_pos,
+                   rnd + 1, trace)
             if mesh is not None:
                 out = tuple(
                     jax.lax.with_sharding_constraint(a, repl)
-                    if a is not table else a for a in out)
+                    if a is not table and a is not side else a
+                    for a in out)
             return out
 
         z32 = jnp.zeros((B,), jnp.int32)
         z64 = jnp.zeros((B,), jnp.int64)
-        carry0 = (table0,
-                  jnp.zeros((conf_size + 1,), jnp.uint32),
+        carry0 = (table0, side0,
                   jnp.broadcast_to(done0 == 0, (B,)),
-                  z32, z32, z32, z32, z64, z64, z64, z64,
+                  jnp.ones((B,), bool),       # stale: classify everything
+                  jnp.zeros((B,), bool),      # rechecked
+                  z32, z32, z32, z32, z64, z64, z64, z64, z32,
                   z64,                        # committed_len
-                  ids_ins0, path_idx0, done0,
+                  path_idx0, done0,
                   jnp.int32(-1),              # rot_pos
-                  jnp.uint32(1))              # round (epoch) counter
+                  jnp.uint32(1),              # round counter
+                  jnp.zeros((TRACE_N, 4), jnp.int32))
         fin = jax.lax.while_loop(round_cond, round_body, carry0)
-        (table, _, _, dec_a, ts_a, te_a, na_a, q_a, h_a, m_a, ov_a, clen,
-         ids_ins, path_idx, done, rot_pos, _) = fin
+        (table, side, _, _, _, dec_a, ts_a, te_a, na_a, q_a, h_a, m_a,
+         ov_a, _, clen, path_idx, done, rot_pos, rnd_fin, trace) = fin
+        if debug:
+            # diagnostics: surface the round count through the ov column of
+            # the last row
+            ov_a = ov_a.at[B - 1].set(rnd_fin.astype(jnp.int64))
 
         in_path = order > rot_pos
         ins_bases = jnp.where(rot_pos < 0, ins_bases0, jnp.int64(0)) \
             + jnp.where(in_path, clen, 0).sum()
+        # id counter = reservations consumed since the last rotation (see
+        # the read-order reservation comment in step 7)
+        ids_ins = jnp.where(rot_pos < 0, ids_ins0, jnp.int64(0)) \
+            + jnp.where(in_path, maxb, 0).sum()
         scal = jnp.stack([ids_ins, ins_bases, path_idx, done])
         rows = jnp.stack(
             [dec_a.astype(jnp.int64), ts_a.astype(jnp.int64),
@@ -477,6 +724,8 @@ def build_wave_consume(eng, B: int, T: int):
             out_filt = CompressedState(br, su, table, counts0)
         else:
             out_filt = dm.MibfState(words=table, counts=counts0)
-        return out_filt, rows, scal
+        if debug:
+            return out_filt, rows, scal, side, trace
+        return out_filt, rows, scal, side
 
     return consume
