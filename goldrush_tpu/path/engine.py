@@ -23,6 +23,7 @@ MIBloomFilter.hpp:105-107) but skips the serialized re-checks.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from dataclasses import dataclass
 
@@ -106,6 +107,7 @@ def _device_memory_bytes() -> int:
 
 
 from .engine_util import tile_min_count as _tile_min_count  # noqa: E402
+from .engine_util import recheck_zone as _recheck_zone  # noqa: E402
 
 
 def _bucket_for(num_tiles: int, cap: int) -> int:
@@ -270,6 +272,9 @@ class GoldenPathEngine:
         Called from the earliest stream pass available (phred sampling
         before fill) so the compile/cache-load overlaps maximum host work."""
         if self._prewarm_thread is not None or self._prewarm_done:
+            return
+        if os.environ.get("GOLDRUSH_NO_PREWARM"):     # A/B: fill contention
+            self._prewarm_done = True
             return
         TLp, capp = self.params.tile_length, self.cfg.max_tiles
         pn, pT = self._prewarm_sim
@@ -629,8 +634,9 @@ class GoldenPathEngine:
         # cached executable with the wrong insert rule
         fast = (cfg.recheck != "exact"
                 and not _os.environ.get("GOLDRUSH_NO_FASTINS"))
+        ranksc = bool(_os.environ.get("GOLDRUSH_RANKSCAN"))
         return (B, T, self.params, self.params_ins, self.compressed, fast,
-                self._wave,
+                self._wave, ranksc,
                 cfg.recheck, cfg.trim_recheck, cfg.insert_stride,
                 cfg.silver_path, int(cfg.target_bases()), cfg.max_paths,
                 cfg.unassigned_min, cfg.assigned_max, cfg.threshold,
@@ -705,13 +711,18 @@ class GoldenPathEngine:
             # state only: the full MibfState/CompressedState in exact mode,
             # just the words (direct) / ids (compressed) array in fast
             # mode — counts and the rank structure pass through untouched.
-            if compressed and fast:
+            # rank-space scan (cz.rank_grid precompute + pure id-table
+            # probes) is OPT-IN: on CPU it is 2.2x the slot-space scan
+            # (calibration runs), but the clean on-chip A/B measured it
+            # SLOWER end-to-end (278 vs 301 reads/s, tools/profile_fill.py
+            # r5) — the batched rank mapping adds more than the per-probe
+            # rank lookups it removes once XLA fuses those into the
+            # gathers.  The wavefront consume still requires it (its
+            # merged scatters are rank-indexed).
+            rank_scan = (compressed and fast
+                         and bool(_os.environ.get("GOLDRUSH_RANKSCAN")))
+            if rank_scan:
                 br, su, cn = filt.bitrank, filt.supers, filt.counts
-                # the slot grids are mapped through the FROZEN rank
-                # structure ONCE (batched, below) — every in-scan probe and
-                # insert is then a pure id-table gather/scatter with zero
-                # per-read rank work (cz.rank_grid; measured ~40% of the
-                # per-recruit insert cost in round 4)
 
                 def probe(sf, r, ok):
                     return cz.probe_and_vote_ranks(sf, r, ok, params,
@@ -725,6 +736,34 @@ class GoldenPathEngine:
                     return cz.insert_ranks_max(sf, ri, lo, hi, base,
                                                trimmed, params_ins,
                                                num_tiles=T)
+
+                def reset(sf):
+                    return jnp.zeros_like(sf)
+
+                def sf_of(filt):
+                    return filt.ids
+
+                def repack(sf):
+                    return cz.CompressedState(br, su, sf, cn)
+            elif compressed and fast:
+                # DEFAULT fast path: the slot-space scan — per-probe rank
+                # lookups inside the step (fuse into the gathers; measured
+                # faster on-chip than the rank precompute, see above)
+                br, su, cn = filt.bitrank, filt.supers, filt.counts
+
+                def probe(sf, s, ok):
+                    st = cz.CompressedState(br, su, sf, cn)
+                    return cz.probe_and_vote(st, s, ok, params, num_tiles=T)
+
+                def probe_full(sf, s, ok):
+                    st = cz.CompressedState(br, su, sf, cn)
+                    return cz.probe_and_vote(st, s, ok, params_full,
+                                             num_tiles=T)
+
+                def insert_sf(sf, si, crow, ln, sq, lo, hi, base, trimmed):
+                    st = cz.CompressedState(br, su, sf, cn)
+                    return cz.insert_read_max(st, si, lo, hi, base, trimmed,
+                                              params_ins, num_tiles=T)
 
                 def reset(sf):
                     return jnp.zeros_like(sf)
@@ -836,7 +875,7 @@ class GoldenPathEngine:
                 slots_ins = jnp.zeros((codes.shape[0], 1, 1),
                                       dtype=params.idx_dtype)
                 ok_full = jnp.zeros((codes.shape[0], 1), dtype=bool)
-            if compressed and fast:
+            if rank_scan:
                 # batched slot -> rank mapping (the structure is frozen);
                 # the scan then runs entirely in rank space
                 shell = cz.CompressedState(br, su, filt.ids, cn)
@@ -891,19 +930,11 @@ class GoldenPathEngine:
                     # (in full-vote units) re-classifies too, so finer
                     # strides cannot skip borderline reads that coarser
                     # strides would have caught via sampling noise
-                    S_ = params.frame_stride
-                    weak = tmin * S_ < 2 * cfg.threshold
-                    # partial drops re-classify only when they carry a
-                    # meaningful unassigned stretch (>= 3 tiles) or sit at
-                    # the whole-read boundary (na near assigned_max):
-                    # fragmented single-tile dropouts are sampling noise
-                    # the exact classifier drops too (zone rate 75% -> ~55%
-                    # measured, tools/calib_gate.py round 4)
-                    stretch = te.astype(jnp.int32) - ts.astype(jnp.int32) - 1
-                    partial = (na > 0) & (na < n_t) & \
-                        ((stretch >= 3) | (na <= a_max + 2))
-                    zone = (partial | (dec == 2)
-                            | ((na >= n_t) & weak)) & (done == 0)
+                    # predicate shared with the wavefront + pinned by
+                    # tests/test_recheck_zone.py (engine_util.recheck_zone)
+                    zone = _recheck_zone(
+                        dec, na, n_t, ts, te, tmin, params.frame_stride,
+                        cfg.threshold, a_max) & (done == 0)
 
                     def use_full(_):
                         v = probe_full(sf, si[None], okf[None])

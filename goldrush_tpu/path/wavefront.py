@@ -94,7 +94,7 @@ from ..mibf.compressed import (CompressedState, _rank_lookup,
                                _vote_from_words)
 from ..mibf.mibf import PRESENT_BIT
 from .classify import classify_batch
-from .engine_util import tile_min_count
+from .engine_util import recheck_zone, tile_min_count
 
 # rows per compacted chunk per stage: the chunk is the static shape unit of
 # each dynamic-size row set; partially-filled chunks waste at most
@@ -519,14 +519,11 @@ def build_wave_consume(eng, B: int, T: int):
             stale = stale & ~work
             rechecked = rechecked & ~work
 
-            # 2. boundary zone (identical rules to the in-scan recheck)
+            # 2. boundary zone (rules shared with the in-scan recheck via
+            # engine_util.recheck_zone, pinned by tests/test_recheck_zone)
             if rech_on:
-                weak = tmin * S < 2 * x_full
-                stretch = te - ts - 1
-                partial = (na > 0) & (na < n_tiles) & \
-                    ((stretch >= 3) | (na <= a_max + 2))
-                zone = (partial | (dec == 2)
-                        | ((na >= n_tiles) & weak)) & pending
+                zone = recheck_zone(dec, na, n_tiles, ts, te, tmin,
+                                    S, x_full, a_max) & pending
             else:
                 zone = jnp.zeros((B,), bool)
 

@@ -176,16 +176,22 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                     mk, mw = min(32, cfg.polish_k), cfg.polish_w
                 else:
                     mk, mw = 15, 10
-                # large-k-then-small-k schedule: the large k is specific,
-                # the small k stays solid where ONT error thins large-k
-                # read support (measured on synthetic truth in
-                # tools/downstream_validate.py)
+                # large-k-then-small-k schedule with a final large-k refine
+                # cycle: the large k is specific, the smaller ks stay solid
+                # where ONT error thins large-k read support and separate
+                # merged absent regions so dense indel clusters localize.
+                # site_spacing=2 emits a candidate at every absent sub-run
+                # end — ONT error spacing (~1/err_rate) is comparable to k,
+                # so the default one-site-per-k walk reaches only ~28% of
+                # the errors (measured, tools/polish_probe.py: 32-mer
+                # identity 0.54 -> 0.78 on homopolymer-biased indel reads
+                # with this schedule; the reference's GoldPolish covers
+                # this with ntEdit-style indel ladders, bin/goldrush:266)
                 pk = min(32, cfg.polish_k)
-                # the two-stage schedule only makes sense when pk > 20;
-                # otherwise (pk <= 20) a single stage at pk avoids a
-                # degenerate duplicate/inverted-k second stage
-                sched = ((pk, 4), (20, 6)) if pk > 20 else ((pk, 10),)
-                pp = polish.PolishParams(k=pk, schedule=sched)
+                sched = (((pk, 12), (20, 16), (16, 10), (pk, 8))
+                         if pk > 20 else ((pk, 14), (16, 10), (pk, 6)))
+                pp = polish.PolishParams(k=pk, schedule=sched,
+                                         site_spacing=2)
                 out, edits = polish.run_polish(contigs, reads, pp,
                                                mapper_k=mk, mapper_w=mw)
             with _atomic_stage(files["polished"]) as tmp:

@@ -56,6 +56,19 @@ class PolishParams:
     # large-k window never beats its noop), larger k refines.  Empty ->
     # single (k, rounds) stage.
     schedule: tuple = ()
+    # site density controls (ONT error spacing ~ 1/err_rate is COMPARABLE to
+    # k, so merged absent regions hide most error sites from the one-edit-
+    # per-region-per-round walk — measured on homopolymer-indel reads the
+    # default-spacing polisher fixes only ~28% of errors, tools/
+    # polish_probe.py).  site_spacing < k emits a candidate at EVERY absent
+    # sub-run end at least this far from the previous site; edits still
+    # apply right-to-left so coordinate shifts compose, and each round
+    # re-scores against the edited sequence, so overlapping-window score
+    # error self-corrects over rounds.
+    site_spacing: int = 0           # 0 -> p.k (the conservative default)
+
+    def spacing(self, k: int) -> int:
+        return self.site_spacing if self.site_spacing > 0 else k
 
     def stages(self) -> tuple:
         return self.schedule or ((self.k, self.rounds),)
@@ -176,6 +189,13 @@ def _candidate_edits(seq: np.ndarray, b: int, k: int):
                     np.concatenate([left, [ins], mid, right])))
         out.append((("ins2", ins),
                     np.concatenate([left, mid, [ins], right])))
+    # 2-bp homopolymer run adjustments: two same-run indels land in one
+    # absent region on ONT homopolymer-biased reads, and no single edit's
+    # window clears the noop gate (ntEdit's indel ladder plays the same
+    # card — VERDICT r4 item 3)
+    out.append((("del2", 0), np.concatenate([left, right[1:]])))
+    out.append((("ins_hp2", cur),
+                np.concatenate([left, [cur, cur], mid, right])))
     return out
 
 
@@ -204,9 +224,10 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
             r_starts = [0] + r_starts
         if absent[-1]:
             r_ends = r_ends + [n - 1]
+        spacing = p.spacing(p.k)
         cand_b = []
         for s_, e_ in zip(r_starts, r_ends):
-            if cand_b and s_ - cand_b[-1] < p.k:
+            if cand_b and s_ - cand_b[-1] < spacing:
                 cand_b[-1] = e_        # merge into previous region
             else:
                 cand_b.append(e_)
@@ -216,7 +237,7 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
         last = -10 ** 9
         for b in cand_b:
             b = min(int(b), len(arr) - 1)
-            if b - last >= p.k:
+            if b - last >= spacing:
                 sites.append(b)
                 last = b
         if not sites:
@@ -271,6 +292,12 @@ def polish_contig(seq: bytes, table: KmerTable, p: PolishParams
                 pieces[b] = alt
             elif kind == "del":
                 pieces = np.concatenate([pieces[:b], pieces[b + 1:]])
+            elif kind == "del2":
+                pieces = np.concatenate([pieces[:b], pieces[b + 2:]])
+            elif kind == "ins_hp2":
+                pieces = np.concatenate([pieces[:b],
+                                         np.array([alt, alt], np.uint8),
+                                         pieces[b:]])
             elif kind == "ins":
                 pieces = np.concatenate([pieces[:b],
                                          np.array([alt], np.uint8),

@@ -44,7 +44,8 @@ def polish_targets(scaffolds: list[Scaffold], reads: list[bytes],
     all scaffolds."""
     p = p or TargetParams()
     pp = polish_mod.PolishParams(k=p.k, solid_min=p.solid_min,
-                                 rounds=p.rounds, schedule=p.schedule)
+                                 rounds=p.rounds, schedule=p.schedule,
+                                 site_spacing=2)
     assigned: list[list[bytes]] | None = None
     if mapper_k is not None:
         from . import mapping
