@@ -89,6 +89,7 @@ class EngineStats:
     paths_completed: int = 0
     inserted_bases_in_path: int = 0
     wall_fill_s: float = 0.0
+    wall_fill_stream_s: float = 0.0   # fill stream+scatter, pre-freeze
     wall_assign_s: float = 0.0
     wall_submit_s: float = 0.0       # assign: device submit pass
     wall_submit_first_s: float = 0.0  # first batch (compile) per bucket
@@ -471,6 +472,8 @@ class GoldenPathEngine:
         if st.num_passed_reads == 0:
             raise RuntimeError(
                 "no reads passed the Phred score and min length requirements")
+        jax.block_until_ready(words)
+        st.wall_fill_stream_s = time.time() - t0
         if self.compressed:
             from ..mibf import compressed as cz
             if cz_via_words:

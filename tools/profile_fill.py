@@ -14,13 +14,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
-def run(tag):
+def run(tag, **kw):
     workdir = tempfile.mkdtemp(prefix=f"profill_{tag}_")
     reads = bench.make_dataset(workdir)
     t0 = time.time()
-    r = bench.measure_engine(reads, workdir, tag, frame_stride=8,
-                             probe_seeds=1, recheck="optimistic",
-                             batch_reads=64, mibf_mode="compressed")
+    kw.setdefault("mibf_mode", "compressed")
+    from goldrush_tpu.path.engine import GoldenPathEngine
+    cfg = bench.engine_cfg(reads, workdir, tag + "_w", frame_stride=8,
+                           probe_seeds=1, recheck="optimistic",
+                           batch_reads=64, **kw)
+    GoldenPathEngine(cfg).run()               # warm XLA cache
+    cfg = bench.engine_cfg(reads, workdir, tag, frame_stride=8,
+                           probe_seeds=1, recheck="optimistic",
+                           batch_reads=64, **kw)
+    eng = GoldenPathEngine(cfg)
+    stats = eng.run()
+    r = dict(fill_s=round(stats.wall_fill_s, 3),
+             fill_stream_s=round(stats.wall_fill_stream_s, 3),
+             assign_s=round(stats.wall_assign_s, 3),
+             submit_s=round(stats.wall_submit_s, 3),
+             submit_first_s=round(stats.wall_submit_first_s, 3),
+             reads_per_s=round(stats.num_reads
+                               / max(stats.wall_assign_s, 1e-9), 2))
     print(f"[{tag}] wall {time.time()-t0:.1f}s  {r}", flush=True)
 
 
@@ -33,4 +48,7 @@ if __name__ == "__main__":
             os.environ["GOLDRUSH_NO_PREWARM"] = "1"
         elif v == "rankscan":
             os.environ["GOLDRUSH_RANKSCAN"] = "1"
-        run(v)
+        if v == "direct":
+            run(v, mibf_mode="direct")
+        else:
+            run(v)
