@@ -164,7 +164,18 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
     if not os.path.exists(files["polished"]):
         def do_polish():
             contigs = _read_fasta(files["golden"])
-            reads = _load_reads(reads_file)
+            # bounded-memory path: above this input size (or when forced
+            # via GOLDRUSH_POLISH_STREAM_BYTES) the k-mer polisher streams
+            # reads from disk in chunks and spills per-goldtig read sets
+            # to temp files instead of holding every read in memory —
+            # identical output, O(index + chunk + one goldtig's reads)
+            # peak (the reference's envelope at 67x human scale,
+            # /root/reference/README.md:121)
+            stream_bytes = int(os.environ.get(
+                "GOLDRUSH_POLISH_STREAM_BYTES", str(2 << 30)))
+            streaming = (cfg.polisher != "racon"
+                         and os.path.getsize(reads_file) >= stream_bytes)
+            reads = None if streaming else _load_reads(reads_file)
             if cfg.polisher == "racon":
                 from .stages import racon
                 out, edits = racon.polish_with_racon(contigs, reads)
@@ -192,8 +203,12 @@ def _run(cfg: PipelineConfig, until: str, frame_stride: int,
                          if pk > 20 else ((pk, 14), (16, 10), (pk, 6)))
                 pp = polish.PolishParams(k=pk, schedule=sched,
                                          site_spacing=2)
-                out, edits = polish.run_polish(contigs, reads, pp,
-                                               mapper_k=mk, mapper_w=mw)
+                if streaming:
+                    out, edits = polish.run_polish_streaming(
+                        contigs, reads_file, pp, mapper_k=mk, mapper_w=mw)
+                else:
+                    out, edits = polish.run_polish(contigs, reads, pp,
+                                                   mapper_k=mk, mapper_w=mw)
             with _atomic_stage(files["polished"]) as tmp:
                 fastq.write_fasta(tmp, out)
             _log(f"[goldrush-tpu] polish edits: {edits}")

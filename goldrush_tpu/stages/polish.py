@@ -22,6 +22,7 @@ design rule (SURVEY.md section 7).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -328,6 +329,70 @@ def polish_seq(seq: bytes, reads: list[bytes], p: PolishParams,
         seq, ne = polish_contig(seq, table, pp)
         total += ne
     return seq, total
+
+
+def run_polish_streaming(contigs: list[tuple[str, bytes]], reads_path: str,
+                         p: PolishParams | None = None,
+                         mapper_k: int = 15, mapper_w: int = 10,
+                         chunk: int = 512, spill_dir: str | None = None
+                         ) -> tuple[list[tuple[str, bytes]], int]:
+    """Bounded-memory run_polish: reads STREAM from disk in fixed-size
+    chunks through the batched mapper and spill to one temp file per
+    goldtig; each goldtig then polishes against its own spilled reads.
+
+    Peak memory is O(contigs + minimizer index + chunk + largest
+    per-goldtig read set) instead of O(all reads) — the reference's
+    memory envelope at scale (67x human ~ 200 GB of reads vs its 51.9 GB
+    peak, /root/reference/README.md:121) cannot be met by whole-file
+    lists.  Output is IDENTICAL to run_polish(mapper_k=...): read->contig
+    assignment is per-read (chunking cannot change it) and per-contig
+    polishing is independent.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from ..io import fastq as _fq
+    from . import mapping
+    p = p or PolishParams()
+    index = mapping.build_index([s for _, s in contigs],
+                                [n for n, _ in contigs], mapper_k, mapper_w)
+    own = spill_dir is None
+    if own:
+        spill_dir = _tempfile.mkdtemp(prefix="polish_spill_")
+    files = [open(os.path.join(spill_dir, f"c{i}.reads"), "wb")
+             for i in range(len(contigs))]
+    try:
+        def spill(batch: list[bytes]):
+            for read, hits in zip(batch, mapping.map_reads(index, batch)):
+                if hits:
+                    files[hits[0].tid].write(read + b"\n")
+
+        batch: list[bytes] = []
+        for rec in _fq.read_records(reads_path):
+            batch.append(rec.seq)
+            if len(batch) >= chunk:
+                spill(batch)
+                batch = []
+        if batch:
+            spill(batch)
+        for f in files:
+            f.close()
+        out, edits = [], 0
+        for i, (name, seq) in enumerate(contigs):
+            with open(os.path.join(spill_dir, f"c{i}.reads"), "rb") as f:
+                rds = [ln for ln in f.read().splitlines() if ln]
+            if rds:
+                ns, ne = polish_seq(seq, rds, p)
+            else:
+                ns, ne = seq, 0        # no evidence -> leave unpolished
+            out.append((name, ns))
+            edits += ne
+        return out, edits
+    finally:
+        for f in files:
+            if not f.closed:
+                f.close()
+        if own:
+            _shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 def run_polish(contigs: list[tuple[str, bytes]], reads: list[bytes],
